@@ -1,9 +1,37 @@
-"""Test configuration: force an 8-device virtual CPU mesh so sharding paths are
-exercised without TPU hardware (the driver separately dry-runs the multi-chip path).
-Must set env vars before jax is imported anywhere.
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU mesh so sharding paths are exercised without
+TPU hardware (the driver separately dry-runs the multi-chip path on a virtual
+mesh too).
+
+This environment installs a TPU-plugin sitecustomize hook (PYTHONPATH) that
+claims the (single) TPU at interpreter start — slow, and it serialises against
+any other process holding the claim. Since that hook runs before conftest can
+do anything, we re-exec pytest once with a cleaned environment.
 """
 
 import os
+import sys
+
+
+def pytest_configure(config):
+    """If the TPU-plugin sitecustomize is active, re-exec pytest with a clean
+    CPU-only environment (stopping global capture first so output survives)."""
+    if ".axon_site" not in os.environ.get("PYTHONPATH", ""):
+        return
+    capman = config.pluginmanager.getplugin("capturemanager")
+    if capman is not None:
+        capman.stop_global_capturing()
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    sys.stderr.write("[conftest] re-exec pytest with CPU-only jax env\n")
+    sys.stderr.flush()
+    args = list(config.invocation_params.args)
+    os.execve(sys.executable, [sys.executable, "-m", "pytest", *args], env)
+
 
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
