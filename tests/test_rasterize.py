@@ -1,0 +1,106 @@
+"""Rasterization tests: the exact host splat against the golden cat512 fixtures,
+and the device (XLA seed-and-gather) rasterizer against the exact host splat."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from PIL import Image
+
+from arap_flow_tpu.io import flo
+from arap_flow_tpu.io.image import load_rgb, load_mask
+from arap_flow_tpu.native.host_raster import rasterize_warp_exact, warp_from_flow
+from arap_flow_tpu.ops.rasterize import rasterize, rasterize_flow, make_warp
+
+
+def _device(warp_np, rgb, mask, **kw):
+    drgb, dmask = rasterize(
+        jnp.asarray(warp_np.transpose(2, 0, 1)),
+        jnp.asarray(rgb.transpose(2, 0, 1), jnp.float32),
+        jnp.asarray(mask),
+        **kw,
+    )
+    return (
+        np.asarray(drgb).transpose(1, 2, 0).astype(np.uint8),
+        np.asarray(dmask).astype(np.uint8),
+    )
+
+
+def test_host_exact_matches_golden_cat512(cat512_warp):
+    """The exact host rasterizer must reproduce the shipped warped outputs:
+    pixel-perfect mask coverage, RGB within the ±1 float-rounding band."""
+    rgb = load_rgb(cat512_warp["rgb"])
+    mask = load_mask(cat512_warp["mask"])
+    u, v = flo.flow_read(cat512_warp["flo"])
+    wrgb, wmask = rasterize_warp_exact(
+        warp_from_flow(np.dstack([u, v]).astype(np.float32)), rgb, mask
+    )
+    gmask = np.array(Image.open(cat512_warp["wmask"]).convert("L"))
+    assert ((wmask > 0) == (gmask > 0)).all()
+    grgb = load_rgb(cat512_warp["wrgb"])
+    diff = np.abs(wrgb.astype(int) - grgb.astype(int))
+    assert (diff <= 1).all()
+    assert (diff == 0).all(-1).mean() > 0.99
+
+
+@pytest.mark.parametrize("case", ["translate", "segment", "rotate"])
+def test_device_matches_exact_controlled(case):
+    H, W = 64, 80
+    rng = np.random.default_rng(0)
+    rgb = rng.integers(0, 256, (H, W, 3)).astype(np.uint8)
+    mask = np.zeros((H, W), np.uint8)
+    if case == "translate":
+        f = np.zeros((H, W, 2), np.float32)
+        f[..., 0], f[..., 1] = 5.2, 3.7
+    elif case == "segment":
+        mask = np.full((H, W), 255, np.uint8)
+        mask[20:40, 10:30] = 0
+        f = np.zeros((H, W, 2), np.float32)
+        f[..., 0], f[..., 1] = 25.0, 10.0
+    else:
+        yy, xx = np.mgrid[0:H, 0:W].astype(np.float32)
+        cy, cx, th = H / 2, W / 2, 0.4
+        xr = np.cos(th) * (xx - cx) - np.sin(th) * (yy - cy) + cx
+        yr = np.sin(th) * (xx - cx) + np.cos(th) * (yy - cy) + cy
+        f = np.stack([xr - xx, yr - yy], -1).astype(np.float32)
+
+    warp_np = warp_from_flow(f)
+    ex_rgb, ex_mask = rasterize_warp_exact(warp_np, rgb, mask)
+    drgb, dmask = _device(warp_np, rgb, mask)
+    assert ((dmask > 0) == (ex_mask > 0)).mean() > 0.98
+    cov = ex_mask > 0
+    if cov.any():
+        diff = np.abs(drgb.astype(int) - ex_rgb.astype(int)).max(-1)[cov]
+        assert (diff <= 1).mean() > 0.98
+
+
+def test_device_matches_exact_cat512_crop(cat512_warp):
+    """Device vs exact on a 192×192 crop of the golden cat512 warp (full-res is
+    covered by the benchmark path; crop keeps CPU CI fast)."""
+    rgb = load_rgb(cat512_warp["rgb"])
+    mask = load_mask(cat512_warp["mask"])
+    u, v = flo.flow_read(cat512_warp["flo"])
+    sl = (slice(96, 288), slice(128, 320))
+    f = np.dstack([u, v]).astype(np.float32)[sl]
+    rgb, mask = rgb[sl], mask[sl]
+    warp_np = warp_from_flow(f)
+    ex_rgb, ex_mask = rasterize_warp_exact(warp_np, rgb, mask)
+    drgb, dmask = _device(warp_np, rgb, mask)
+    assert ((dmask > 0) == (ex_mask > 0)).mean() > 0.99
+    cov = ex_mask > 0
+    diff = np.abs(drgb.astype(int) - ex_rgb.astype(int)).max(-1)[cov]
+    assert (diff <= 1).mean() > 0.98
+
+
+def test_rasterize_flow_identity():
+    """Zero flow must reproduce the input image on the quad-covered interior."""
+    H, W = 32, 40
+    rng = np.random.default_rng(1)
+    rgb = rng.integers(0, 256, (H, W, 3)).astype(np.uint8)
+    mask = np.zeros((H, W), np.uint8)
+    flow = jnp.zeros((2, H, W), jnp.float32)
+    drgb, dmask = rasterize_flow(flow, jnp.asarray(rgb.transpose(2, 0, 1), jnp.float32), jnp.asarray(mask))
+    drgb = np.asarray(drgb).transpose(1, 2, 0).astype(np.uint8)
+    dmask = np.asarray(dmask)
+    # interior pixels (quads exist up to H-1, W-1)
+    assert (dmask[: H - 1, : W - 1] == 255).all()
+    np.testing.assert_array_equal(drgb[: H - 1, : W - 1], rgb[: H - 1, : W - 1])
