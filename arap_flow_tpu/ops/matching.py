@@ -1,0 +1,245 @@
+"""On-device sparse correspondence matching (DeepMatching replacement).
+
+The reference shells out to the DeepMatching binary (`deepmatching-static im1
+im2 -nt 0 -out f -ngh_rad 100`, para_gen.py:227-240) and consumes text lines
+``x1 y1 x2 y2 score``. This module produces the same product — sparse,
+segment-filterable correspondences with bounded displacement — with a
+TPU-native coarse-to-fine normalized-cross-correlation pyramid:
+
+1. grayscale + Gaussian-ish pyramid (2×2 average pooling);
+2. at the coarsest level, exhaustive NCC search over a static offset window
+   (the `-ngh_rad` bound shrunk by the pyramid factor) using z-scored patches
+   and fused static shifts;
+3. at each finer level, the upsampled flow warps image 2 (one bilinear gather),
+   then a ±2 static-offset NCC search refines the estimate;
+4. forward-backward consistency and a minimum-NCC threshold select matches on
+   a regular grid (DM emits a quasi-regular grid as well).
+
+The downstream constraint filter (io.constraints.filter_matches, parity with
+para_gen.py:216-223) is unchanged, so matcher differences are forgiven by the
+dist<60 / segment-consistency rules exactly as they are for DeepMatching.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .stencil import shift
+
+
+def to_gray(rgb: jnp.ndarray) -> jnp.ndarray:
+    """(3, H, W) float32 RGB -> (H, W) luma."""
+    return 0.299 * rgb[0] + 0.587 * rgb[1] + 0.114 * rgb[2]
+
+
+def _avg_pool2(im: jnp.ndarray) -> jnp.ndarray:
+    H, W = im.shape
+    H2, W2 = H // 2, W // 2
+    return im[: H2 * 2, : W2 * 2].reshape(H2, 2, W2, 2).mean((1, 3))
+
+
+def _box_sum(im: jnp.ndarray, k: int) -> jnp.ndarray:
+    """k×k box sum, same-size (zero padded), via two separable cumsum passes.
+
+    Window for output i covers [i − k//2, i + k − 1 − k//2]."""
+    a = k // 2
+    b = k - 1 - a
+
+    def along(x, axis):
+        pad = [(0, 0), (0, 0)]
+        pad[axis] = (a, b)
+        xp = jnp.pad(x, pad)
+        c = jnp.cumsum(xp, axis=axis)
+        zshape = list(c.shape)
+        zshape[axis] = 1
+        c = jnp.concatenate([jnp.zeros(zshape, c.dtype), c], axis=axis)
+        n = x.shape[axis]
+        hi = jax.lax.slice_in_dim(c, k, k + n, axis=axis)
+        lo = jax.lax.slice_in_dim(c, 0, n, axis=axis)
+        return hi - lo
+
+    return along(along(im, 0), 1)
+
+
+def _zscore(im: jnp.ndarray, k: int, eps: float = 1e-4) -> jnp.ndarray:
+    """Patch-normalize: subtract k×k local mean, divide by local std."""
+    n = float(k * k)
+    mu = _box_sum(im, k) / n
+    var = _box_sum(im * im, k) / n - mu * mu
+    return (im - mu) / jnp.sqrt(jnp.maximum(var, eps))
+
+
+def _bilinear(plane: jnp.ndarray, qx: jnp.ndarray, qy: jnp.ndarray) -> jnp.ndarray:
+    H, W = plane.shape
+    qx = jnp.clip(qx, 0.0, W - 1.0)
+    qy = jnp.clip(qy, 0.0, H - 1.0)
+    x0 = jnp.floor(qx).astype(jnp.int32)
+    y0 = jnp.floor(qy).astype(jnp.int32)
+    x1 = jnp.minimum(x0 + 1, W - 1)
+    y1 = jnp.minimum(y0 + 1, H - 1)
+    fx = qx - x0
+    fy = qy - y0
+    flat = plane.ravel()
+    g = lambda yy, xx: flat[yy * W + xx]
+    return (
+        g(y0, x0) * (1 - fx) * (1 - fy)
+        + g(y0, x1) * fx * (1 - fy)
+        + g(y1, x0) * (1 - fx) * fy
+        + g(y1, x1) * fx * fy
+    )
+
+
+def _search(z1: jnp.ndarray, z2: jnp.ndarray, radius: int, patch: int):
+    """Exhaustive NCC search: returns (du, dv, score) per pixel, each (H, W).
+
+    score is mean z1·z2 over the patch ∈ [−1, 1]. The offset loop is a
+    `lax.scan` over a pre-padded image (graph size independent of the search
+    radius — an unrolled loop makes XLA compile time explode)."""
+    n = float(patch * patch)
+    H, W = z1.shape
+    z2p = jnp.pad(z2, radius)
+    dys, dxs = np.mgrid[-radius : radius + 1, -radius : radius + 1]
+    offs = jnp.asarray(
+        np.stack([dys.ravel(), dxs.ravel()], 1), jnp.int32
+    )
+
+    def body(carry, off):
+        best, bu, bv = carry
+        dy, dx = off[0], off[1]
+        z2s = jax.lax.dynamic_slice(z2p, (radius + dy, radius + dx), (H, W))
+        corr = _box_sum(z1 * z2s, patch) / n
+        take = corr > best
+        best = jnp.where(take, corr, best)
+        bu = jnp.where(take, dx.astype(jnp.float32), bu)
+        bv = jnp.where(take, dy.astype(jnp.float32), bv)
+        return (best, bu, bv), None
+
+    init = (
+        jnp.full(z1.shape, -jnp.inf, jnp.float32),
+        jnp.zeros(z1.shape, jnp.float32),
+        jnp.zeros(z1.shape, jnp.float32),
+    )
+    (best, bu, bv), _ = jax.lax.scan(body, init, offs)
+    return bu, bv, best
+
+
+def _grid(H: int, W: int):
+    gx = jnp.arange(W, dtype=jnp.float32)[None, :] * jnp.ones((H, 1), jnp.float32)
+    gy = jnp.arange(H, dtype=jnp.float32)[:, None] * jnp.ones((1, W), jnp.float32)
+    return gx, gy
+
+
+@partial(jax.jit, static_argnames=("radius", "patch", "levels", "refine_radius"))
+def pyramid_flow(
+    g1: jnp.ndarray,
+    g2: jnp.ndarray,
+    radius: int = 100,
+    patch: int = 8,
+    levels: int = 4,
+    refine_radius: int = 2,
+):
+    """Dense coarse-to-fine NCC flow estimate.
+
+    g1, g2: (H, W) float32 grayscale. Returns (flow (2, H, W), score (H, W)).
+    """
+    pyr1, pyr2 = [g1], [g2]
+    for _ in range(levels):
+        pyr1.append(_avg_pool2(pyr1[-1]))
+        pyr2.append(_avg_pool2(pyr2[-1]))
+
+    coarse_r = max(2, int(np.ceil(radius / (2 ** levels))))
+    z1 = _zscore(pyr1[-1], patch)
+    z2 = _zscore(pyr2[-1], patch)
+    u, v, score = _search(z1, z2, coarse_r, patch)
+
+    for lvl in range(levels - 1, -1, -1):
+        H, W = pyr1[lvl].shape
+        # upsample flow ×2 (values double)
+        u = jnp.repeat(jnp.repeat(u, 2, 0), 2, 1)[:H, :W] * 2.0
+        v = jnp.repeat(jnp.repeat(v, 2, 0), 2, 1)[:H, :W] * 2.0
+        if u.shape != (H, W):
+            u = jnp.pad(u, ((0, H - u.shape[0]), (0, W - u.shape[1])), mode="edge")
+            v = jnp.pad(v, ((0, H - v.shape[0]), (0, W - v.shape[1])), mode="edge")
+        gx, gy = _grid(H, W)
+        w2 = _bilinear(pyr2[lvl], gx + u, gy + v)
+        z1l = _zscore(pyr1[lvl], patch)
+        z2l = _zscore(w2, patch)
+        du, dv, score = _search(z1l, z2l, refine_radius, patch)
+        u = u + du
+        v = v + dv
+
+    return jnp.stack([u, v]), score
+
+
+def match_images(
+    rgb1: np.ndarray,
+    rgb2: np.ndarray,
+    radius: int = 100,
+    stride: int = 4,
+    patch: int = 8,
+    levels: int = 4,
+    fb_threshold: float = 1.5,
+    score_threshold: float = 0.3,
+) -> np.ndarray:
+    """Sparse matches between two (H, W, 3) uint8 images.
+
+    Returns (N, 5) float32 rows ``x1 y1 x2 y2 score`` on a stride grid, kept
+    where forward-backward consistency < fb_threshold px and NCC ≥
+    score_threshold (the reciprocal-verification analogue of DeepMatching's
+    correlation-score pruning). Displacements are bounded by `radius`
+    (≙ -ngh_rad 100, para_gen.py:234).
+    """
+    j1 = jnp.asarray(np.ascontiguousarray(rgb1.transpose(2, 0, 1)), jnp.float32)
+    j2 = jnp.asarray(np.ascontiguousarray(rgb2.transpose(2, 0, 1)), jnp.float32)
+    g1, g2 = to_gray(j1), to_gray(j2)
+    fwd, score = pyramid_flow(g1, g2, radius=radius, patch=patch, levels=levels)
+    bwd, _ = pyramid_flow(g2, g1, radius=radius, patch=patch, levels=levels)
+
+    fwd = np.asarray(fwd)
+    bwd = np.asarray(bwd)
+    score = np.asarray(score)
+    H, W = g1.shape
+
+    ys, xs = np.mgrid[stride // 2 : H : stride, stride // 2 : W : stride]
+    ys, xs = ys.ravel(), xs.ravel()
+    u = fwd[0, ys, xs]
+    v = fwd[1, ys, xs]
+    x2 = xs + u
+    y2 = ys + v
+    # forward-backward: bwd flow at the (rounded, in-bounds) target
+    xt = np.clip(np.round(x2).astype(int), 0, W - 1)
+    yt = np.clip(np.round(y2).astype(int), 0, H - 1)
+    bx = bwd[0, yt, xt]
+    by = bwd[1, yt, xt]
+    fb_err = np.hypot(u + bx, v + by)
+
+    sc = score[ys, xs]
+    keep = (
+        (fb_err < fb_threshold)
+        & (sc >= score_threshold)
+        & (x2 >= 0)
+        & (x2 < W)
+        & (y2 >= 0)
+        & (y2 < H)
+        & (np.hypot(u, v) <= radius)
+    )
+    out = np.stack(
+        [xs[keep], ys[keep], np.round(x2[keep]), np.round(y2[keep]), sc[keep]],
+        axis=1,
+    ).astype(np.float32)
+    return out
+
+
+def write_matches(path, matches: np.ndarray) -> None:
+    """Write DM-format match lines ``x1 y1 x2 y2 score`` (the matcher-output
+    contract consumed by para_gen.py:468-479)."""
+    with open(path, "w") as f:
+        for row in matches:
+            f.write(
+                f"{int(row[0])} {int(row[1])} {int(row[2])} {int(row[3])} "
+                f"{row[4]:.4f}\n"
+            )
