@@ -37,13 +37,19 @@ class DeformResult:
     state: np.ndarray | None = None  # (3, H, W) warp positions + angle
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def _solve_and_raster(ops: E.ArapOperands, rgb_f: jnp.ndarray, cfg: SolverConfig):
+@partial(jax.jit, static_argnames=("static_key",))
+def _solve_and_raster_impl(
+    ops: E.ArapOperands, rgb_f: jnp.ndarray, cfg: SolverConfig, static_key
+):
     x = S.anneal_solve(ops, cfg)
     flow = S.flow_from_state(x, ops)
     arap_mask = 1.0 - ops.mask  # rasterizer wants 0 = object
     wrgb, wmask = R.rasterize(x[:2], rgb_f, arap_mask)
     return x, flow, wrgb, wmask
+
+
+def _solve_and_raster(ops, rgb_f, cfg: SolverConfig):
+    return _solve_and_raster_impl(ops, rgb_f, cfg, cfg.static_key)
 
 
 class ArapDeformer:

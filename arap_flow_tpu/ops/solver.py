@@ -4,9 +4,9 @@ TPU-native replacement for the Opt-generated GN/PCG solver
 (solverGPUGaussNewton.t): the reference launches ~19×8×(3+400×3) CUDA kernels
 per frame (SURVEY.md §3.2); here the whole annealed schedule — 19 constraint
 anneal steps × 8 GN iterations × ≤400 PCG iterations — is ONE jitted XLA
-program with `lax.fori_loop`/`lax.while_loop` control flow, zero host
-round-trips, and deterministic reductions (the reference's float atomicAdd dot
-products are non-deterministic; ours are not).
+program with `lax` control flow, zero host round-trips, and deterministic
+reductions (the reference's float atomicAdd dot products are non-deterministic;
+ours are not).
 
 Algorithm parity map:
 - PCGInit1 (solverGPUGaussNewton.t:361-396): r₀ = −JtF, M⁻¹ = CERES guarded
@@ -16,10 +16,13 @@ Algorithm parity map:
 - PCGLinearUpdate (:553-558): x += δ.
 - Outer annealing: constraints lerp source→target with α=(i+1)/numIter
   (CombinedSolver.h:199-201, 223-242).
-- Optional Q-based ζ early exit (the reference enables it only for LM,
-  :1093-1102; we expose it for GN too as `q_tolerance > 0` — "fast" mode).
+- Optional early exits (the reference enables a ζ test only for LM,
+  :1093-1102): Q-based ζ and/or relative-residual rz tolerance.
 
-Every function is vmap-able over a leading batch axis for multi-problem solves.
+Design note: loop *structure* (anneal / GN counts, PCG cap) is static config;
+the PCG budget and tolerances are **traced scalars**, so one compiled
+executable serves every schedule sweep point. Everything vmaps over a leading
+batch axis.
 """
 
 from __future__ import annotations
@@ -43,18 +46,28 @@ from .energy import (
 
 
 class SolverConfig(NamedTuple):
-    """Unified solver schedule config (replaces CombinedSolverParameters.h:3-15 +
-    the Opt name-keyed solver parameters, solverGPUGaussNewton.t:26-39).
+    """Solver schedule (replaces CombinedSolverParameters.h:3-15 + the Opt
+    name-keyed solver parameters, solverGPUGaussNewton.t:26-39).
+
+    Static structure: num_anneal, gn_iters, max_pcg_iters.
+    Dynamic knobs (traced; changing them does NOT recompile): pcg_iters
+    (budget ≤ cap), q_tolerance (ζ early exit; reference default 1e-4,
+    LM-only), rz_tolerance (relative preconditioned-residual exit —
+    ||r·z|| < rz_tol² · ||r₀·z₀||; our addition, 0 = off).
 
     Defaults are the reference application settings (main.cpp:215-221).
-    q_tolerance > 0 enables the ζ early exit inside PCG; 0 reproduces the
-    reference GN behaviour (fixed 400 inner iterations).
     """
 
-    num_anneal: int = 19  # outer constraint-annealing iterations (numIter)
-    gn_iters: int = 8  # Gauss-Newton iterations per anneal step (nonLinearIter)
-    pcg_iters: int = 400  # PCG inner iterations (linearIter)
-    q_tolerance: float = 0.0  # ζ tolerance (reference default 1e-4, LM-only)
+    num_anneal: int = 19
+    gn_iters: int = 8
+    max_pcg_iters: int = 400
+    pcg_iters: float = 400.0
+    q_tolerance: float = 0.0
+    rz_tolerance: float = 0.0
+
+    @property
+    def static_key(self):
+        return (self.num_anneal, self.gn_iters, self.max_pcg_iters)
 
 
 def guarded_invert(diag: jnp.ndarray) -> jnp.ndarray:
@@ -76,10 +89,16 @@ def pcg_solve(
     c: jnp.ndarray,
     jtf: jnp.ndarray,
     diag: jnp.ndarray,
-    iters: int,
-    q_tolerance: float = 0.0,
-) -> jnp.ndarray:
-    """Solve JtJ δ = −JtF with Jacobi-preconditioned CG; returns δ (3, H, W)."""
+    max_iters: int,
+    pcg_iters=None,
+    q_tolerance=0.0,
+    rz_tolerance=0.0,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Solve JtJ δ = −JtF with Jacobi-preconditioned CG.
+
+    Returns (δ (3, H, W), iterations executed). `pcg_iters`, `q_tolerance`,
+    `rz_tolerance` may be traced scalars.
+    """
     b = -jtf
     pre = guarded_invert(diag)
     r0 = b
@@ -87,6 +106,16 @@ def pcg_solve(
     p0 = z0
     rz0 = _dot(r0, z0)
     delta0 = jnp.zeros_like(jtf)
+    budget = jnp.minimum(
+        jnp.float32(max_iters),
+        jnp.float32(pcg_iters if pcg_iters is not None else max_iters),
+    )
+    q_tol = jnp.float32(q_tolerance)
+    rz_tol = jnp.float32(rz_tolerance)
+
+    def cond(state):
+        i, _, _, _, rz, _, converged = state
+        return jnp.logical_and(i < budget, jnp.logical_not(converged))
 
     def body(state):
         i, delta, r, p, rz, q_prev, _ = state
@@ -100,64 +129,68 @@ def pcg_solve(
         beta = jnp.where(rz > 0.0, rz_new / rz, 0.0)
         p = z + beta * p
         # Q-based ζ test (solverGPUGaussNewton.t:479-481, 1093-1102):
-        # Q = ½ δ·(r + b) approximates the model-cost decrease.
+        # Q = ½ δ·(r + b) approximates the model-cost decrease; break when the
+        # normalised per-iteration gain drops below q_tolerance (signed, as in
+        # the reference).
         q = 0.5 * _dot(delta, r + b)
         zeta = (i + 1.0) * (q - q_prev) / jnp.where(q == 0.0, 1.0, q)
-        converged = zeta < q_tolerance  # signed, as in the reference ζ break
-        return i + 1.0, delta, r, p, rz_new, q, converged
+        conv_q = jnp.logical_and(q_tol > 0.0, zeta < q_tol)
+        conv_rz = jnp.logical_and(rz_tol > 0.0, rz_new < rz_tol * rz_tol * rz0)
+        return i + 1.0, delta, r, p, rz_new, q, jnp.logical_or(conv_q, conv_rz)
 
-    if q_tolerance > 0.0:
-        def cond(state):
-            i, _, _, _, _, _, converged = state
-            return jnp.logical_and(i < iters, jnp.logical_not(converged))
-
-        state = (jnp.float32(0.0), delta0, r0, p0, rz0, jnp.float32(0.0),
-                 jnp.array(False))
-        state = lax.while_loop(cond, body, state)
-        return state[1]
-
-    def fori_body(_, state):
-        return body(state)
-
-    state = (jnp.float32(0.0), delta0, r0, p0, rz0, jnp.float32(0.0),
-             jnp.array(False))
-    state = lax.fori_loop(0, iters, fori_body, state)
-    return state[1]
+    state = (
+        jnp.float32(0.0),
+        delta0,
+        r0,
+        p0,
+        rz0,
+        jnp.float32(0.0),
+        jnp.array(False),
+    )
+    state = lax.while_loop(cond, body, state)
+    return state[1], state[0]
 
 
-def gn_step(x: jnp.ndarray, ops: ArapOperands, cimg: jnp.ndarray,
-            cfg: SolverConfig) -> jnp.ndarray:
-    """One Gauss-Newton iteration: linearise at x, PCG-solve, update."""
+def gn_step(x, ops, cimg, cfg: SolverConfig, pcg_iters, q_tol, rz_tol):
+    """One Gauss-Newton iteration: linearise at x, PCG-solve, update.
+
+    Returns (x', pcg iterations used)."""
     s, c = trig(x)
     jtf, diag = jtf_and_diag(x, ops, cimg)
-    delta = pcg_solve(ops, s, c, jtf, diag, cfg.pcg_iters, cfg.q_tolerance)
-    return x + delta
-
-
-def gn_solve(x: jnp.ndarray, ops: ArapOperands, cimg: jnp.ndarray,
-             cfg: SolverConfig) -> jnp.ndarray:
-    """cfg.gn_iters Gauss-Newton iterations at fixed constraints (one
-    Opt_ProblemSolve call, o.t:2548-2551)."""
-    return lax.fori_loop(
-        0, cfg.gn_iters, lambda _, xx: gn_step(xx, ops, cimg, cfg), x
+    delta, iters = pcg_solve(
+        ops, s, c, jtf, diag, cfg.max_pcg_iters, pcg_iters, q_tol, rz_tol
     )
+    return x + delta, iters
+
+
+def anneal_solve_stats(ops: ArapOperands, cfg: SolverConfig):
+    """Full solve: constraint annealing outer loop over GN (parity with
+    CombinedSolverBase::singleSolve, CombinedSolverBase.h:99-120, driving
+    setConstraintImage(α=(i+1)/numIter), CombinedSolver.h:199-201).
+
+    Returns (x (3,H,W), total PCG iterations)."""
+    x0 = init_state(ops)
+    pcg_iters = jnp.float32(cfg.pcg_iters)
+    q_tol = jnp.float32(cfg.q_tolerance)
+    rz_tol = jnp.float32(cfg.rz_tolerance)
+
+    def outer(i, carry):
+        x, tot = carry
+        alpha = (i + 1.0) / cfg.num_anneal
+        cimg = anneal_constraints(ops, alpha)
+
+        def inner(_, carry2):
+            x2, tot2 = carry2
+            x2, it = gn_step(x2, ops, cimg, cfg, pcg_iters, q_tol, rz_tol)
+            return x2, tot2 + it
+
+        return lax.fori_loop(0, cfg.gn_iters, inner, (x, tot))
+
+    return lax.fori_loop(0, cfg.num_anneal, outer, (x0, jnp.float32(0.0)))
 
 
 def anneal_solve(ops: ArapOperands, cfg: SolverConfig) -> jnp.ndarray:
-    """Full solve: constraint annealing outer loop over gn_solve.
-
-    Parity with CombinedSolverBase::singleSolve (CombinedSolverBase.h:99-120)
-    driving setConstraintImage(α=(i+1)/numIter) (CombinedSolver.h:199-201).
-    Returns the final state x = [warpField_x, warpField_y, angle], (3, H, W).
-    """
-    x0 = init_state(ops)
-
-    def outer(i, x):
-        alpha = (i + 1.0) / cfg.num_anneal
-        cimg = anneal_constraints(ops, alpha)
-        return gn_solve(x, ops, cimg, cfg)
-
-    return lax.fori_loop(0, cfg.num_anneal, outer, x0)
+    return anneal_solve_stats(ops, cfg)[0]
 
 
 def flow_from_state(x: jnp.ndarray, ops: ArapOperands) -> jnp.ndarray:
@@ -165,24 +198,39 @@ def flow_from_state(x: jnp.ndarray, ops: ArapOperands) -> jnp.ndarray:
     return x[:2] - ops.grid
 
 
-@partial(jax.jit, static_argnames=("cfg",))
-def solve(ops: ArapOperands, cfg: SolverConfig) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """Jitted full solve; returns (state (3,H,W), flow (2,H,W))."""
-    x = anneal_solve(ops, cfg)
-    return x, flow_from_state(x, ops)
+@partial(jax.jit, static_argnames=("static_key",))
+def _solve_impl(ops, cfg: SolverConfig, static_key):
+    x, iters = anneal_solve_stats(ops, cfg)
+    return x, flow_from_state(x, ops), iters
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+def solve(ops: ArapOperands, cfg: SolverConfig):
+    """Jitted full solve; returns (state (3,H,W), flow (2,H,W)). One compiled
+    program per (shape, loop structure); tolerances/budget are traced."""
+    x, flow, _ = _solve_impl(ops, cfg, cfg.static_key)
+    return x, flow
+
+
+def solve_stats(ops: ArapOperands, cfg: SolverConfig):
+    """Like solve() but also returns total PCG iterations executed."""
+    return _solve_impl(ops, cfg, cfg.static_key)
+
+
+@partial(jax.jit, static_argnames=("static_key",))
+def _solve_batch_impl(ops, cfg: SolverConfig, static_key):
+    def one(o):
+        x, iters = anneal_solve_stats(o, cfg)
+        return x, flow_from_state(x, o), iters
+
+    return jax.vmap(one)(ops)
+
+
 def solve_batch(ops: ArapOperands, cfg: SolverConfig):
-    """Batched solve over leading axis of every operand (vmap); returns
+    """Batched solve over the leading axis of every operand leaf; returns
     (states (B,3,H,W), flows (B,2,H,W)). Replaces the reference's one-CUDA-
     process-per-problem task farm (para_gen.py:560-567) with on-chip batching."""
-    return jax.vmap(lambda o: solve_inner(o, cfg))(ops)
-
-
-def solve_inner(ops: ArapOperands, cfg: SolverConfig):
-    x = anneal_solve(ops, cfg)
-    return x, flow_from_state(x, ops)
+    xs, flows, _ = _solve_batch_impl(ops, cfg, cfg.static_key)
+    return xs, flows
 
 
 def solve_instrumented(ops: ArapOperands, cfg: SolverConfig):
@@ -193,6 +241,9 @@ def solve_instrumented(ops: ArapOperands, cfg: SolverConfig):
     """
     x0 = init_state(ops)
     n = cfg.num_anneal * cfg.gn_iters
+    pcg_iters = jnp.float32(cfg.pcg_iters)
+    q_tol = jnp.float32(cfg.q_tolerance)
+    rz_tol = jnp.float32(cfg.rz_tolerance)
 
     def outer(i, carry):
         x, costs = carry
@@ -201,7 +252,7 @@ def solve_instrumented(ops: ArapOperands, cfg: SolverConfig):
 
         def inner(j, carry2):
             x2, costs2 = carry2
-            x2 = gn_step(x2, ops, cimg, cfg)
+            x2, _ = gn_step(x2, ops, cimg, cfg, pcg_iters, q_tol, rz_tol)
             costs2 = costs2.at[i * cfg.gn_iters + j].set(cost(x2, ops, cimg))
             return x2, costs2
 

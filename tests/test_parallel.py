@@ -1,0 +1,77 @@
+"""Multi-chip tests on the virtual 8-device CPU mesh: data-parallel sharded
+batch solve and the spatially-sharded (halo-exchange) solver must match the
+single-chip solver exactly."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from arap_flow_tpu.io.constraints import add_border_pins
+from arap_flow_tpu.ops import energy as E
+from arap_flow_tpu.ops import solver as S
+from arap_flow_tpu.parallel import make_mesh, solve_batch_sharded, solve_spatial
+
+
+def _problem(H, W, seed):
+    rng = np.random.default_rng(seed)
+    arap_mask = np.full((H, W), 255, np.uint8)
+    arap_mask[H // 4 : 3 * H // 4, W // 4 : 3 * W // 4] = 0
+    ys, xs = np.mgrid[H // 4 + 1 : 3 * H // 4 - 1 : 4, W // 4 + 1 : 3 * W // 4 - 1 : 4]
+    cons = np.stack(
+        [
+            xs.ravel(),
+            ys.ravel(),
+            xs.ravel() + rng.integers(-2, 3, xs.size),
+            ys.ravel() + rng.integers(-2, 3, xs.size),
+        ],
+        axis=1,
+    ).astype(np.int32)
+    cons = add_border_pins(cons, W, H)
+    return E.build_operands(arap_mask, cons)
+
+
+def _batch(problems):
+    return jax.tree.map(lambda *ls: jnp.stack(ls), *problems)
+
+
+def test_data_parallel_matches_single():
+    H, W = 24, 32
+    probs = [_problem(H, W, s) for s in range(8)]
+    batched = _batch(probs)
+    cfg = S.SolverConfig(num_anneal=2, gn_iters=2, pcg_iters=40.0)
+    mesh = make_mesh(data=8, space=1)
+    xs, flows = solve_batch_sharded(batched, cfg, mesh)
+    x0, f0 = S.solve(probs[3], cfg)
+    np.testing.assert_allclose(np.asarray(xs[3]), np.asarray(x0), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(flows[3]), np.asarray(f0), atol=1e-5)
+
+
+def test_spatial_matches_single():
+    """Row-sharded solve with ppermute halos == single-chip solve (up to psum
+    reduction order)."""
+    H, W = 32, 24  # H divisible by space=4
+    probs = [_problem(H, W, s) for s in (0, 1)]
+    batched = _batch(probs)
+    cfg = S.SolverConfig(num_anneal=2, gn_iters=2, pcg_iters=30.0)
+    mesh = make_mesh(data=2, space=4)
+    xs, flows = solve_spatial(batched, cfg, mesh)
+    for i, p in enumerate(probs):
+        x0, f0 = S.solve(p, cfg)
+        np.testing.assert_allclose(
+            np.asarray(xs[i]), np.asarray(x0), atol=5e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(flows[i]), np.asarray(f0), atol=5e-4
+        )
+
+
+def test_spatial_full_mesh_space8():
+    """All 8 devices on the space axis (single problem's rows split 8 ways)."""
+    H, W = 32, 16
+    p = _problem(H, W, 7)
+    batched = _batch([p])
+    cfg = S.SolverConfig(num_anneal=1, gn_iters=2, pcg_iters=25.0)
+    mesh = make_mesh(data=1, space=8)
+    xs, flows = solve_spatial(batched, cfg, mesh)
+    x0, f0 = S.solve(p, cfg)
+    np.testing.assert_allclose(np.asarray(xs[0]), np.asarray(x0), atol=5e-4)

@@ -29,7 +29,7 @@ def test_pcg_matches_direct_solve():
     ops, x, cimg = _tiny_problem()
     s, c = E.trig(x)
     jtf, diag = E.jtf_and_diag(x, ops, cimg)
-    delta = S.pcg_solve(ops, s, c, jtf, diag, iters=600)
+    delta, _ = S.pcg_solve(ops, s, c, jtf, diag, 600)
 
     rfun = lambda xx: E.residuals(xx, ops, cimg).ravel()
     J = np.asarray(jax.jacfwd(rfun)(x).reshape(-1, x.size), np.float64)
@@ -51,7 +51,7 @@ def test_gn_descends_energy():
     cfg = S.SolverConfig(num_anneal=1, gn_iters=1, pcg_iters=150)
     costs = [float(E.cost(x, ops, cimg))]
     for _ in range(5):
-        x = S.gn_step(x, ops, cimg, cfg)
+        x, _ = S.gn_step(x, ops, cimg, cfg, cfg.pcg_iters, 0.0, 0.0)
         costs.append(float(E.cost(x, ops, cimg)))
     assert costs[-1] < costs[0] * 1e-2, costs
     assert all(b <= a * 1.01 for a, b in zip(costs, costs[1:])), costs
@@ -103,8 +103,8 @@ def test_qexit_matches_full_pcg_closely():
     ops, x, cimg = _tiny_problem(seed=3)
     s, c = E.trig(x)
     jtf, diag = E.jtf_and_diag(x, ops, cimg)
-    d_full = S.pcg_solve(ops, s, c, jtf, diag, iters=500, q_tolerance=0.0)
-    d_fast = S.pcg_solve(ops, s, c, jtf, diag, iters=500, q_tolerance=1e-6)
+    d_full, _ = S.pcg_solve(ops, s, c, jtf, diag, 500)
+    d_fast, n_fast = S.pcg_solve(ops, s, c, jtf, diag, 500, q_tolerance=1e-6)
     # the ζ test stops once the quadratic model stops improving; in f32 that
     # leaves ~1% of the step unresolved (polished by later GN iterations)
     err = float(jnp.max(jnp.abs(d_full - d_fast)))
