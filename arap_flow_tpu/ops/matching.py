@@ -196,6 +196,10 @@ def match_images(
     j1 = jnp.asarray(np.ascontiguousarray(rgb1.transpose(2, 0, 1)), jnp.float32)
     j2 = jnp.asarray(np.ascontiguousarray(rgb2.transpose(2, 0, 1)), jnp.float32)
     g1, g2 = to_gray(j1), to_gray(j2)
+    # keep the coarsest level at least ~3 patches across
+    min_dim = min(g1.shape)
+    levels = max(0, min(levels, int(np.floor(np.log2(min_dim / (3 * patch))))))
+    radius = min(radius, min_dim)
     fwd, score = pyramid_flow(g1, g2, radius=radius, patch=patch, levels=levels)
     bwd, _ = pyramid_flow(g2, g1, radius=radius, patch=patch, levels=levels)
 

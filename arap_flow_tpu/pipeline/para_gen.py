@@ -1,0 +1,438 @@
+"""Primary dataset-generation driver (the para_gen.py equivalent).
+
+End-to-end DAVIS-style generation (reference call stack SURVEY.md §3.1):
+scan the input tree for frame pairs at distance --fd, preprocess, find sparse
+correspondences, filter them to segment-consistent short-displacement
+constraints, composite random backgrounds, ARAP-solve each (frame, segment),
+compose per-segment products, and emit Flow/.flo + warped RGB/mask trees plus
+``all_files.list``.
+
+Differences from the reference by design:
+- correspondences come from the on-device NCC pyramid matcher
+  (ops/matching.py) instead of a DeepMatching subprocess; pass
+  ``--matcher binary --dm_bin PATH`` to shell out exactly like
+  para_gen.py:227-240, or ``--matcher file`` to reuse cached constraint files;
+- ARAP solves run batched on the TPU (no per-GPU process farm / tmp list
+  files; the jit cache replaces the per-size Opt plan rebuild);
+- the directory layout, mask conventions, filter rules, --resume semantics and
+  the final existence sweep (para_gen.py:594-603) are preserved.
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import os
+import os.path as osp
+import re
+import subprocess
+import time
+from dataclasses import dataclass, field
+
+import numpy as np
+from PIL import Image
+
+from ..io import flo
+from ..io.constraints import filter_matches, write_constraint_file
+from ..io.image import ARAP_BG, load_mask, load_rgb, save_image
+from ..models.arap import ArapDeformer
+from ..ops.solver import SolverConfig
+
+log = logging.getLogger("arap_flow_tpu.para_gen")
+
+# canonical directory names (para_gen.py:18-26)
+ORGCOLOR = "orgRGB"
+ORGMASK = "orgMasks"
+COLOR_DIR = "inpRGB"
+MASK_DIR = "inpMasks"
+CNSTR_DIR = "tmpCnstr"
+FLOW_DIR = "Flow"
+WRGB_DIR = "wRGB"
+WMASK_DIR = "wMasks"
+
+
+@dataclass
+class PairPaths:
+    """All generated/original paths for one frame pair (the reference's entry
+    dict, para_gen.py:417-429)."""
+
+    rgb1_gen: str
+    msk1_gen: str
+    rgb2_gen: str
+    msk2_gen: str
+    cstr_tmp: str
+    flow_gen: str
+    rgb1_org: str
+    msk1_org: str
+    rgb2_org: str
+    msk2_org: str
+
+
+@dataclass
+class PipelineFlags:
+    input: str
+    output: str
+    bg_dir: str | None = None
+    gpu: list = field(default_factory=lambda: [0])  # accepted for CLI parity
+    multseg: bool = False
+    resume: bool = False
+    narap: int = 7  # batch budget (reference: buffered files per GPU)
+    size: tuple | None = None
+    fd: int = 1
+    matcher: str = "native"  # native | binary | file
+    dm_bin: str | None = None
+    schedule: str = "parity"  # parity | fast
+    seed: int | None = None
+
+
+def scale_rotate(im: Image.Image, mk: Image.Image, size):
+    """Preprocessing parity (para_gen.py:253-291): transpose portrait frames,
+    then resize (+10px slack) and center-crop to `size` (w, h)."""
+    assert im.size == mk.size, (
+        f"Image and mask must be of the same size but given {im.size} vs {mk.size}"
+    )
+    preprocessed = False
+    if im.size[1] > im.size[0]:
+        im = im.transpose(Image.TRANSPOSE)
+        mk = mk.transpose(Image.TRANSPOSE)
+        preprocessed = True
+    if size is not None and im.size != tuple(size):
+        r = max(
+            float(size[0] + 10) / im.size[0], float(size[1] + 10) / im.size[1]
+        )
+        w, h = (np.array(im.size) * r).astype(int)
+        im = im.resize((w, h), Image.LANCZOS)
+        mk = mk.resize((w, h), Image.NEAREST)
+        left = w // 2 - size[0] // 2
+        upper = h // 2 - size[1] // 2
+        im = im.crop((left, upper, left + size[0], upper + size[1]))
+        mk = mk.crop((left, upper, left + size[0], upper + size[1]))
+        preprocessed = True
+    return preprocessed, im, mk
+
+
+class BackgroundPool:
+    """Random background images: scan once, draw without replacement until the
+    pool refills; corrupt files are dropped (para_gen.py:365-375, 484-497)."""
+
+    def __init__(self, bg_dir, rng: np.random.Generator):
+        self.rng = rng
+        self.paths: list[str] = []
+        if bg_dir and osp.isdir(bg_dir):
+            for root, _, files in os.walk(bg_dir):
+                for f in files:
+                    up = f.upper()
+                    if ".PNG" in up or ".JPG" in up or ".JPEG" in up:
+                        self.paths.append(osp.join(root, f))
+        self.tmp: list[str] = []
+
+    def fit(self, bg: np.ndarray, shape) -> np.ndarray:
+        """Random 1-2× upscale + random crop to `shape` (fit_bg,
+        para_gen.py:36-48)."""
+        imh, imw = shape[:2]
+        bgh, bgw = bg.shape[:2]
+        r = self.rng.uniform(1, 2) * max(
+            float(max(bgh, imh)) / bgh, float(max(bgw, imw)) / bgw
+        )
+        im = Image.fromarray(bg).resize(
+            (int(bgw * r), int(bgh * r)), Image.LANCZOS
+        )
+        bg = np.array(im)
+        sy = self.rng.integers(0, bg.shape[0] - imh + 1)
+        sx = self.rng.integers(0, bg.shape[1] - imw + 1)
+        return bg[sy : sy + imh, sx : sx + imw, :3]
+
+    def draw(self, shape) -> np.ndarray | None:
+        while self.paths:
+            if not self.tmp:
+                self.tmp = sorted(self.paths)
+            p = self.tmp[self.rng.integers(0, len(self.tmp))]
+            self.tmp.remove(p)
+            try:
+                bg = np.array(Image.open(p).convert("RGB"))
+                return self.fit(bg, shape)
+            except Exception:
+                self.paths.remove(p)
+        return None
+
+
+def add_bg(im: np.ndarray, mk: np.ndarray, bgim: np.ndarray, bgval=0):
+    """Background compositing (add_bg, para_gen.py:50-61)."""
+    assert mk.shape == im.shape[:-1], (
+        f"Sizes mismatch mask and image {mk.shape} vs {im.shape[:-1]}"
+    )
+    assert bgim.shape == im.shape, (
+        f"Sizes mismatch background and image {bgim.shape} vs {im.shape}"
+    )
+    out = im.copy()
+    idx = mk == bgval
+    out[idx] = bgim[idx]
+    return out
+
+
+def scan_pairs(flags: PipelineFlags) -> list[PairPaths]:
+    """Input-tree scan with frame-distance pairing (para_gen.py:384-434):
+    frames matched by the trailing number of ``(\\d+).jp?g`` (case-insensitive),
+    masks as .png; pairs skipped when frame t+fd or either mask is missing;
+    --resume skips pairs whose .flo already exists."""
+    rgb_org = osp.join(flags.input, ORGCOLOR)
+    msk_org = osp.join(flags.input, ORGMASK)
+    out = flags.output
+    reg = re.compile(r"(\d+)\.(jpe?g|png)", flags=re.IGNORECASE)
+
+    pairs: list[PairPaths] = []
+    for root, dirs, _ in os.walk(rgb_org):
+        for d in sorted(dirs):
+            folder = osp.join(root, d)
+            files = sorted(
+                f for f in os.listdir(folder) if reg.search(f) is not None
+            )
+            for f1 in files:
+                seq = osp.join(root.replace(rgb_org, "").strip(osp.sep), d)
+                f, ext = osp.splitext(f1)
+                if not osp.exists(osp.join(msk_org, seq, f + ".png")):
+                    continue
+                num = reg.search(f1)
+                n = "{:0" + str(len(num.group(1))) + "d}"
+                nxt = int(num.group(1)) + flags.fd
+                f2 = f.replace(num.group(1), n.format(nxt))
+                if not osp.exists(osp.join(rgb_org, seq, f2 + ext)) or not osp.exists(
+                    osp.join(msk_org, seq, f2 + ".png")
+                ):
+                    continue
+                pp = PairPaths(
+                    rgb1_gen=osp.abspath(osp.join(out, COLOR_DIR, seq, f + ".png")),
+                    msk1_gen=osp.abspath(osp.join(out, MASK_DIR, seq, f + ".png")),
+                    rgb2_gen=osp.abspath(osp.join(out, WRGB_DIR, seq, f + ".png")),
+                    msk2_gen=osp.abspath(osp.join(out, WMASK_DIR, seq, f + ".png")),
+                    cstr_tmp=osp.abspath(osp.join(out, CNSTR_DIR, seq, f + ".txt")),
+                    flow_gen=osp.abspath(osp.join(out, FLOW_DIR, seq, f + ".flo")),
+                    rgb1_org=osp.abspath(osp.join(rgb_org, seq, f1)),
+                    msk1_org=osp.abspath(osp.join(msk_org, seq, f + ".png")),
+                    rgb2_org=osp.abspath(osp.join(rgb_org, seq, f2 + ext)),
+                    msk2_org=osp.abspath(osp.join(msk_org, seq, f2 + ".png")),
+                )
+                if not flags.resume or not osp.exists(pp.flow_gen):
+                    pairs.append(pp)
+    return pairs
+
+
+def run_matching(flags: PipelineFlags, p: PairPaths, rgb1, rgb2) -> np.ndarray:
+    """Produce raw matches (N,4+) for a pair, by backend."""
+    if flags.matcher == "binary":
+        assert flags.dm_bin and osp.exists(flags.dm_bin), (
+            f"File not found {flags.dm_bin}"
+        )
+        cmd = (
+            f"./{flags.dm_bin} {p.rgb1_org} {p.rgb2_org} -nt 0 "
+            f"-out {p.cstr_tmp} -ngh_rad 100"
+        )
+        status = subprocess.call(cmd, shell=True)
+        assert status == 0, f"matcher exited with code {status}: {cmd}"
+        from ..io.constraints import read_matches
+
+        return read_matches(p.cstr_tmp)
+    if flags.matcher == "file":
+        from ..io.constraints import read_matches
+
+        return read_matches(p.cstr_tmp)
+    from ..ops.matching import match_images
+
+    return match_images(rgb1, rgb2, radius=100)[:, :4].astype(np.int32)
+
+
+def has_mask(msk1, msk2) -> bool:
+    """Both masks must have enough object pixels (para_gen.py:243-251)."""
+    return int(np.sum(msk1 != 0)) > 10 and int(np.sum(msk2 != 0)) > 10
+
+
+def _ensure_dirs(p: PairPaths):
+    for path in vars(p).values():
+        d = osp.dirname(path)
+        if not osp.isdir(d):
+            os.makedirs(d, exist_ok=True)
+
+
+def process_pair(
+    flags: PipelineFlags,
+    p: PairPaths,
+    deformer: ArapDeformer,
+    bgpool: BackgroundPool,
+) -> list[str] | None:
+    """Run one frame pair end-to-end. Returns the lmdb triple
+    [inpRGB, wRGB, flo] on success, None when skipped."""
+    _ensure_dirs(p)
+
+    im1p = Image.open(p.rgb1_org).convert("RGB")
+    mk1p = Image.open(p.msk1_org)
+    im2p = Image.open(p.rgb2_org).convert("RGB")
+    mk2p = Image.open(p.msk2_org)
+    pre1, im1p, mk1p = scale_rotate(im1p, mk1p, flags.size)
+    pre2, im2p, mk2p = scale_rotate(im2p, mk2p, flags.size)
+    im1, mk1 = np.array(im1p), np.array(mk1p)
+    im2, mk2 = np.array(im2p), np.array(mk2p)
+    if mk1.ndim == 3:
+        mk1 = mk1[:, :, 0]
+    if mk2.ndim == 3:
+        mk2 = mk2[:, :, 0]
+
+    if not has_mask(mk1, mk2):
+        return None
+
+    # preprocessed sources feed the matcher when resizing happened
+    if pre1 or pre2:
+        im1p.save(p.rgb1_gen)
+        im2p.save(p.rgb2_gen)
+        src1, src2 = np.array(im1p), np.array(im2p)
+    else:
+        src1, src2 = im1, im2
+
+    matches = run_matching(flags, p, src1, src2)
+    kept, seg_ids = filter_matches(matches, mk1, mk2)
+    write_constraint_file(p.cstr_tmp, kept)  # cache (para_gen.py:479)
+    if len(kept) == 0:
+        return None
+
+    # background for this pair (applied to inpRGB now, wRGB after the solve)
+    bgim = bgpool.draw(im1.shape)
+    out1 = add_bg(im1, mk1, bgim) if bgim is not None else im1
+    save_image(p.rgb1_gen, out1)
+
+    H, W = mk1.shape
+    if not flags.multseg:
+        arap_mask = np.zeros_like(mk1, dtype=np.uint8)
+        arap_mask[mk1 == 0] = ARAP_BG  # para_gen.py:514-517
+        save_image(p.msk1_gen, arap_mask)
+        res = deformer.deform(out1, arap_mask, kept)
+        flow, wrgb, wmask = res.flow, res.warped_rgb, res.warped_mask
+    else:
+        seg_results = []
+        for s in np.unique(seg_ids):
+            if s == 0:
+                continue
+            arap_mask = np.full_like(mk1, ARAP_BG, dtype=np.uint8)
+            arap_mask[mk1 == s] = 0  # para_gen.py:526-528
+            cons_s = kept[seg_ids == s]
+            assert len(cons_s) > 0, f"Segment {s} has no constraint"
+            seg_results.append(deformer.deform(out1, arap_mask, cons_s))
+        if not seg_results:
+            return None
+        save_image(p.msk1_gen, np.where(mk1 == 0, ARAP_BG, 0).astype(np.uint8))
+        # composition: later segments overwrite (flatten, para_gen.py:151-164)
+        flow = seg_results[0].flow.copy()
+        wrgb = seg_results[0].warped_rgb.copy()
+        wmask = seg_results[0].warped_mask.copy()
+        for r in seg_results[1:]:
+            ob = r.warped_mask != 0
+            flow[ob] = r.flow[ob]
+            wrgb[ob] = r.warped_rgb[ob]
+            wmask[ob] = r.warped_mask[ob]
+
+    # warped RGB gets the same background where uncovered (do_arap,
+    # para_gen.py:207-212)
+    if bgim is not None:
+        wrgb = add_bg(wrgb, wmask, bgim)
+
+    flo.flow_write(p.flow_gen, flow.astype(np.float32))
+    save_image(p.rgb2_gen, wrgb)
+    save_image(p.msk2_gen, wmask)
+    return [p.rgb1_gen, p.rgb2_gen, p.flow_gen]
+
+
+def make_solver_config(schedule: str) -> SolverConfig:
+    if schedule == "parity":
+        return SolverConfig()
+    return SolverConfig(rz_tolerance=1e-3)
+
+
+def main_pipeline(
+    flags: PipelineFlags, solver_cfg: SolverConfig | None = None
+) -> list[str]:
+    rng = np.random.default_rng(flags.seed)
+    bgpool = BackgroundPool(flags.bg_dir, rng)
+    deformer = ArapDeformer(solver_cfg or make_solver_config(flags.schedule))
+
+    pairs = scan_pairs(flags)
+    print(f"{len(pairs)} frame pairs to process")
+    triples = []
+    begin = time.time()
+    for i, p in enumerate(pairs):
+        print(f"{100.0 * i / max(len(pairs), 1):.3f}%", flush=True)
+        try:
+            t = process_pair(flags, p, deformer, bgpool)
+        except AssertionError:
+            raise
+        except Exception as e:  # keep generating; log the failure
+            log.warning("pair failed: %s (%s)", p.rgb1_org, e)
+            t = None
+        if t is not None:
+            triples.append(" ".join(t))
+    print(f"done in {(time.time() - begin) / 60:.2f} mins")
+
+    # final existence sweep (para_gen.py:594-603)
+    out_paths = [
+        line
+        for line in triples
+        if all(osp.exists(l) for l in line.split(" "))
+    ]
+    os.makedirs(flags.output, exist_ok=True)
+    with open(osp.join(flags.output, "all_files.list"), "w") as f:
+        f.write("\n".join(out_paths))
+    return out_paths
+
+
+def parse_args(argv=None) -> PipelineFlags:
+    parser = argparse.ArgumentParser(
+        description="Arguments for ARAP flow generation (TPU pipeline)"
+    )
+    parser.add_argument("--input", type=str, required=True)
+    parser.add_argument("--output", type=str, required=True)
+    parser.add_argument("--bg_dir", type=str, default=None,
+                        help="background image pool directory")
+    parser.add_argument("--gpu", nargs="*", type=int, default=[0],
+                        help="accepted for CLI parity; devices come from jax")
+    parser.add_argument("--multseg", action="store_true", default=False,
+                        help="if each object segment is treated separately")
+    parser.add_argument("--resume", action="store_true", default=False,
+                        help="skip pairs whose .flo already exists")
+    parser.add_argument("--narap", type=int, default=7,
+                        help="solver batch budget (parity flag)")
+    parser.add_argument("--size", nargs=2, type=int, default=None,
+                        help="[width] [height] to resize+crop all frames to")
+    parser.add_argument("--fd", type=int, default=1,
+                        help="frame distance between the pair")
+    parser.add_argument("--matcher", choices=["native", "binary", "file"],
+                        default="native")
+    parser.add_argument("--dm_bin", default=None,
+                        help="DeepMatching binary (with --matcher binary)")
+    parser.add_argument("--arap_bin", default=None,
+                        help="ignored (solver is built in); parity flag")
+    parser.add_argument("--schedule", choices=["parity", "fast"],
+                        default="parity")
+    parser.add_argument("--seed", type=int, default=None)
+    a = parser.parse_args(argv)
+    assert 0 < a.fd < 20, "Invalid fd number!"
+    return PipelineFlags(
+        input=a.input.rstrip(osp.sep),
+        output=a.output.rstrip(osp.sep),
+        bg_dir=a.bg_dir,
+        gpu=a.gpu,
+        multseg=a.multseg,
+        resume=a.resume,
+        narap=a.narap,
+        size=tuple(a.size) if a.size else None,
+        fd=a.fd,
+        matcher=a.matcher,
+        dm_bin=a.dm_bin,
+        schedule=a.schedule,
+        seed=a.seed,
+    )
+
+
+def main(argv=None):
+    logging.basicConfig(level=logging.INFO)
+    return main_pipeline(parse_args(argv))
+
+
+if __name__ == "__main__":
+    main()

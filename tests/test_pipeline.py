@@ -1,0 +1,125 @@
+"""End-to-end pipeline test on a tiny synthetic dataset: a textured square
+translating across frames; verifies directory products, flow accuracy at the
+object, all_files.list, multseg composition, and --resume semantics."""
+
+import os
+import os.path as osp
+
+import numpy as np
+import pytest
+from PIL import Image
+
+from arap_flow_tpu.io import flo
+from arap_flow_tpu.ops.solver import SolverConfig
+from arap_flow_tpu.pipeline.para_gen import (
+    PipelineFlags,
+    main_pipeline,
+    scan_pairs,
+)
+
+H, W = 64, 80
+DX, DY = 3, 2
+
+
+def _smooth_texture(H_, W_, seed):
+    """Matcher-friendly texture: smooth random blocks + mild detail (natural
+    images are smooth; per-pixel noise defeats any patch matcher)."""
+    rng = np.random.default_rng(seed)
+    base = np.kron(
+        rng.uniform(60, 255, (H_ // 8 + 2, W_ // 8 + 2, 3)), np.ones((8, 8, 1))
+    )[:H_, :W_]
+    detail = np.kron(
+        rng.uniform(-25, 25, (H_ // 2 + 1, W_ // 2 + 1, 3)), np.ones((2, 2, 1))
+    )[:H_, :W_]
+    return np.clip(base + detail, 0, 255).astype(np.uint8)
+
+
+def _make_dataset(root, n_frames=3, two_objects=False):
+    tex = _smooth_texture(H, W, 1)
+    bgtex = _smooth_texture(H, W, 2) // 3  # static dark background
+    os.makedirs(osp.join(root, "orgRGB", "seq0"), exist_ok=True)
+    os.makedirs(osp.join(root, "orgMasks", "seq0"), exist_ok=True)
+    yy, xx = np.mgrid[0:H, 0:W]
+    for t in range(n_frames):
+        img = bgtex.copy()
+        mask = np.zeros((H, W), np.uint8)
+        y0, x0 = 12 + DY * t, 8 + DX * t
+        ob1 = (yy >= y0) & (yy < y0 + 30) & (xx >= x0) & (xx < x0 + 34)
+        # texture sampled in object-local coordinates so it moves rigidly
+        img[ob1] = tex[yy[ob1] - DY * t, xx[ob1] - DX * t]
+        mask[ob1] = 1
+        if two_objects:
+            y1, x1 = 38 - DY * t, 48 + DX * t
+            ob2 = (yy >= y1) & (yy < y1 + 20) & (xx >= x1) & (xx < x1 + 24)
+            img[ob2] = tex[yy[ob2] + DY * t, xx[ob2] - DX * t]
+            mask[ob2] = 2
+        Image.fromarray(img).save(osp.join(root, "orgRGB", "seq0", f"{t:05d}.jpg"),
+                                  quality=98)
+        Image.fromarray(mask).save(osp.join(root, "orgMasks", "seq0", f"{t:05d}.png"))
+
+
+CFG = SolverConfig(num_anneal=4, gn_iters=3, max_pcg_iters=120, pcg_iters=120.0)
+
+
+def test_pipeline_end_to_end(tmp_path):
+    inp = str(tmp_path / "data")
+    out = str(tmp_path / "out")
+    _make_dataset(inp)
+    flags = PipelineFlags(input=inp, output=out, fd=1, seed=0)
+    triples = main_pipeline(flags, solver_cfg=CFG)
+    assert len(triples) == 2  # 3 frames -> 2 pairs
+    for line in triples:
+        for pth in line.split(" "):
+            assert osp.exists(pth)
+    # flow at the object ≈ (DX, DY)
+    u, v = flo.flow_read(osp.join(out, "Flow", "seq0", "00000.flo"))
+    mask = np.array(Image.open(osp.join(inp, "orgMasks", "seq0", "00000.png")))
+    obj = mask == 1
+    assert abs(np.median(u[obj]) - DX) < 0.5
+    assert abs(np.median(v[obj]) - DY) < 0.5
+    # background flow is zero (excluded region)
+    assert np.abs(u[~obj]).max() < 1e-3
+    # all_files.list exists and matches
+    lst = open(osp.join(out, "all_files.list")).read().splitlines()
+    assert len(lst) == 2
+    # warped mask covers roughly the translated object
+    wmask = np.array(Image.open(osp.join(out, "wMasks", "seq0", "00000.png")))
+    assert (wmask > 0).sum() > 0.7 * obj.sum()
+
+
+def test_pipeline_resume(tmp_path):
+    inp = str(tmp_path / "data")
+    out = str(tmp_path / "out")
+    _make_dataset(inp)
+    flags = PipelineFlags(input=inp, output=out, fd=1, seed=0)
+    main_pipeline(flags, solver_cfg=CFG)
+    flags2 = PipelineFlags(input=inp, output=out, fd=1, resume=True, seed=0)
+    assert scan_pairs(flags2) == []  # everything already generated
+
+
+def test_pipeline_multseg(tmp_path):
+    inp = str(tmp_path / "data")
+    out = str(tmp_path / "out")
+    _make_dataset(inp, two_objects=True)
+    flags = PipelineFlags(input=inp, output=out, fd=1, multseg=True, seed=0)
+    triples = main_pipeline(flags, solver_cfg=CFG)
+    assert len(triples) == 2
+    u, v = flo.flow_read(osp.join(out, "Flow", "seq0", "00000.flo"))
+    mask = np.array(Image.open(osp.join(inp, "orgMasks", "seq0", "00000.png")))
+    # object 1 moves (+DX, +DY); object 2 moves (+DX, −DY): composition must
+    # keep them distinct
+    assert abs(np.median(u[mask == 1]) - DX) < 0.6
+    assert abs(np.median(v[mask == 1]) - DY) < 0.6
+    assert abs(np.median(v[mask == 2]) + DY) < 0.6
+
+
+def test_pipeline_fd2(tmp_path):
+    inp = str(tmp_path / "data")
+    out = str(tmp_path / "out")
+    _make_dataset(inp, n_frames=3)
+    flags = PipelineFlags(input=inp, output=out, fd=2, seed=0)
+    triples = main_pipeline(flags, solver_cfg=CFG)
+    assert len(triples) == 1  # only (0, 2)
+    u, v = flo.flow_read(osp.join(out, "Flow", "seq0", "00000.flo"))
+    mask = np.array(Image.open(osp.join(inp, "orgMasks", "seq0", "00000.png")))
+    assert abs(np.median(u[mask == 1]) - 2 * DX) < 0.7
