@@ -52,6 +52,44 @@ def _solve_and_raster(ops, rgb_f, cfg: SolverConfig):
     return _solve_and_raster_impl(ops, rgb_f, cfg, cfg.static_key)
 
 
+def crop_box(
+    arap_mask: np.ndarray,
+    constraints: np.ndarray,
+    margin: int = 8,
+    h_mult: int = 64,
+    w_mult: int = 128,
+    extra: int = 0,
+) -> tuple[int, int, int, int]:
+    """Tight solve window around the object, bucket-aligned.
+
+    Exactness: excluded pixels (mask != 0) are provably inert (zero residuals,
+    zero JtJ coupling — tests/test_energy.py::test_excluded_pixels_inert), and
+    border pins only activate on solve-region pixels (CombinedSolver.h:234), so
+    any crop containing the whole object + a 1-px rim yields the identical
+    linear systems as the full frame. `extra` widens the box (e.g. by the max
+    constraint displacement so rasterization keeps landing area). Bucket
+    alignment (h_mult × w_mult) maximises jit-cache reuse and keeps W on
+    TPU-lane-friendly multiples.
+
+    Returns (y0, x0, h, w).
+    """
+    H, W = arap_mask.shape
+    ys, xs = np.where(arap_mask == 0)
+    if len(ys) == 0:
+        return 0, 0, H, W
+    pad = margin + extra
+    y0 = max(0, int(ys.min()) - pad)
+    y1 = min(H, int(ys.max()) + 1 + pad)
+    x0 = max(0, int(xs.min()) - pad)
+    x1 = min(W, int(xs.max()) + 1 + pad)
+    h = min(H, int(np.ceil((y1 - y0) / h_mult)) * h_mult)
+    w = min(W, int(np.ceil((x1 - x0) / w_mult)) * w_mult)
+    # grow symmetrically inside the frame
+    y0 = max(0, min(y0 - (h - (y1 - y0)) // 2, H - h))
+    x0 = max(0, min(x0 - (w - (x1 - x0)) // 2, W - w))
+    return y0, x0, h, w
+
+
 class ArapDeformer:
     """Reusable deformation solver (the CombinedSolver equivalent).
 
@@ -66,11 +104,13 @@ class ArapDeformer:
         weights: E.ArapWeights = E.ArapWeights(),
         pin_border: bool = True,
         keep_state: bool = False,
+        crop: bool = False,
     ):
         self.cfg = cfg
         self.weights = weights
         self.pin_border = pin_border
         self.keep_state = keep_state
+        self.crop = crop
 
     def deform(
         self,
@@ -85,6 +125,10 @@ class ArapDeformer:
         cons = np.asarray(constraints, np.int32).reshape(-1, 4)
         if self.pin_border:
             cons = add_border_pins(cons, W, H)
+
+        if self.crop:
+            return self._deform_cropped(rgb, arap_mask, cons)
+
         ops = E.build_operands(jnp.asarray(arap_mask), cons, self.weights)
         rgb_f = jnp.asarray(rgb.transpose(2, 0, 1), jnp.float32)
         x, flow, wrgb, wmask = _solve_and_raster(ops, rgb_f, self.cfg)
@@ -94,6 +138,50 @@ class ArapDeformer:
             warped_mask=np.asarray(wmask).astype(np.uint8),
             state=np.asarray(x) if self.keep_state else None,
         )
+
+    def _deform_cropped(self, rgb, arap_mask, cons) -> DeformResult:
+        """Solve on the object's bucket-aligned bounding box (exact — see
+        crop_box) and paste products back into full-frame canvases."""
+        H, W = arap_mask.shape[:2]
+        disp = 0
+        if len(cons):
+            disp = int(
+                np.ceil(
+                    np.abs(
+                        cons[:, 2:4].astype(np.int64) - cons[:, 0:2]
+                    ).max()
+                )
+            )
+        y0, x0, h, w = crop_box(arap_mask, cons, extra=disp)
+        sub_mask = np.ascontiguousarray(arap_mask[y0 : y0 + h, x0 : x0 + w])
+        sub_rgb = np.ascontiguousarray(rgb[y0 : y0 + h, x0 : x0 + w])
+        shifted = cons.copy()
+        shifted[:, 0] -= x0
+        shifted[:, 1] -= y0
+        shifted[:, 2] -= x0
+        shifted[:, 3] -= y0
+        inside = (
+            (shifted[:, 0] >= 0)
+            & (shifted[:, 0] < w)
+            & (shifted[:, 1] >= 0)
+            & (shifted[:, 1] < h)
+        )
+        shifted = shifted[inside]
+
+        ops = E.build_operands(jnp.asarray(sub_mask), shifted, self.weights)
+        rgb_f = jnp.asarray(sub_rgb.transpose(2, 0, 1), jnp.float32)
+        x, flow, wrgb, wmask = _solve_and_raster(ops, rgb_f, self.cfg)
+
+        full_flow = np.zeros((H, W, 2), np.float32)
+        full_flow[y0 : y0 + h, x0 : x0 + w] = np.asarray(flow).transpose(1, 2, 0)
+        full_rgb = np.zeros((H, W, 3), np.uint8)
+        full_rgb[y0 : y0 + h, x0 : x0 + w] = (
+            np.asarray(wrgb).transpose(1, 2, 0).astype(np.uint8)
+        )
+        full_mask = np.zeros((H, W), np.uint8)
+        full_mask[y0 : y0 + h, x0 : x0 + w] = np.asarray(wmask).astype(np.uint8)
+        return DeformResult(flow=full_flow, warped_rgb=full_rgb,
+                            warped_mask=full_mask, state=None)
 
     def solve_flow(
         self, arap_mask: np.ndarray, constraints: np.ndarray
@@ -117,3 +205,27 @@ def deform(
 ) -> DeformResult:
     """One-shot functional API over ArapDeformer."""
     return ArapDeformer(cfg, weights).deform(rgb, arap_mask, constraints)
+
+
+@partial(jax.jit, static_argnames=("static_key",))
+def _solve_and_raster_batch_impl(ops, rgb_f, cfg: SolverConfig, static_key):
+    def one(o, r):
+        x = S.anneal_solve(o, cfg)
+        flow = S.flow_from_state(x, o)
+        wrgb, wmask = R.rasterize(x[:2], r, 1.0 - o.mask)
+        return x, flow, wrgb, wmask
+
+    return jax.vmap(one)(ops, rgb_f)
+
+
+def solve_and_raster_batch(ops_batched, rgb_batched, cfg: SolverConfig):
+    """Batched solve + rasterize for same-shape (bucketed) problems.
+
+    ops_batched: ArapOperands with leading batch axis on every leaf;
+    rgb_batched: (B, 3, H, W) float32. Returns (x, flow, wrgb, wmask) batched.
+    This is the on-chip replacement for the reference's per-GPU process farm:
+    many (frame, segment) problems solved in one compiled program.
+    """
+    return _solve_and_raster_batch_impl(
+        ops_batched, rgb_batched, cfg, cfg.static_key
+    )

