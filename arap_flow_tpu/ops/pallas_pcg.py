@@ -1,0 +1,178 @@
+"""VMEM-resident PCG: the whole inner linear solve as one Pallas TPU kernel.
+
+Motivation (measured, scripts/sweep_schedule.py): the XLA-fused PCG runs at
+~42µs/iteration on 512² — HBM-bandwidth roofline, ~33 plane-reads+writes per
+iteration. Reaching the 0.1px EPE parity target needs the reference's full
+400-deep PCG (no early exit survives), so the remaining lever is traffic per
+iteration. This kernel keeps ALL solver state (δ, r, p and the linearisation
+constants) resident in VMEM for the entire inner loop: HBM is touched once per
+GN step instead of three times per PCG iteration (~400× traffic reduction),
+leaving the loop VPU-bound.
+
+Layout: one program per problem (grid = batch); every plane is an (H, W) f32
+VMEM block. Stencil neighbor access is `pltpu.roll` — wrap-around garbage is
+annihilated by the vmask gating (v_dir is zero wherever the neighbor would be
+out of bounds, mirroring the zero-pad semantics of ops/stencil.py), so no edge
+masking is needed.
+
+The math is identical to ops/solver.pcg_solve (PCGInit1/Step1/2/3,
+solverGPUGaussNewton.t:361-558) with a fixed iteration count; correctness is
+asserted against it in tests/test_pallas_pcg.py (interpret mode on CPU, real
+kernel on TPU).
+
+VMEM budget: 17 resident planes ⇒ fits crop buckets up to ~448×512 f32
+(16 MB/core); the bucketed crop path (models/arap.py:crop_box) keeps problems
+inside that envelope.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .stencil import DIRS
+
+
+def _roll2(a: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
+    """b[y, x] = a[(y+dy) mod H, (x+dx) mod W] — wrapped values are always
+    gated by vmask zeros downstream. pltpu.roll requires non-negative shifts,
+    so negative shifts wrap by the axis size."""
+    if dy:
+        a = pltpu.roll(a, shift=(-dy) % a.shape[0], axis=0)
+    if dx:
+        a = pltpu.roll(a, shift=(-dx) % a.shape[1], axis=1)
+    return a
+
+
+def _t_dir(s, c, dy: int, dx: int):
+    return (-dx) * s - dy * c, dx * c - dy * s
+
+
+def _apply_jtj_rolls(pox, poy, pa, vm, s, c, fit, wf2, wr2):
+    """JtJ·p with roll-based neighbor access (mirrors energy.apply_jtj)."""
+    out_x = wf2 * fit * pox
+    out_y = wf2 * fit * poy
+    acc_x = jnp.zeros_like(pox)
+    acc_y = jnp.zeros_like(poy)
+    acc_a = jnp.zeros_like(pa)
+    for k, (dy, dx) in enumerate(DIRS):
+        v = vm[k]
+        poxj = _roll2(pox, dy, dx)
+        poyj = _roll2(poy, dy, dx)
+        paj = _roll2(pa, dy, dx)
+        sj = _roll2(s, dy, dx)
+        cj = _roll2(c, dy, dx)
+        tx, ty = _t_dir(s, c, dy, dx)
+        txj, tyj = _t_dir(sj, cj, dy, dx)
+        dox = pox - poxj
+        doy = poy - poyj
+        acc_x = acc_x + v * (2.0 * dox + pa * tx + paj * txj)
+        acc_y = acc_y + v * (2.0 * doy + pa * ty + paj * tyj)
+        acc_a = acc_a + v * (tx * dox + ty * doy + pa)
+    return out_x + wr2 * acc_x, out_y + wr2 * acc_y, wr2 * acc_a
+
+
+def _pcg_kernel(
+    # inputs
+    b_ref,      # (3, H, W) rhs = −JtF
+    pre_ref,    # (3, H, W) inverted Jacobi preconditioner
+    s_ref,      # (H, W) sin(angle)
+    c_ref,      # (H, W) cos(angle)
+    vm_ref,     # (4, H, W) direction masks
+    fit_ref,    # (H, W) fit mask
+    w_ref,      # (1, 2) SMEM: [wf2, wr2]
+    n_ref,      # (1, 1) SMEM: iteration count
+    # outputs
+    delta_ref,  # (3, H, W)
+    # scratch
+    r_ref,      # (3, H, W)
+    p_ref,      # (3, H, W)
+):
+    wf2 = w_ref[0, 0]
+    wr2 = w_ref[0, 1]
+    s = s_ref[:]
+    c = c_ref[:]
+    vm = vm_ref[:]
+    fit = fit_ref[:]
+    pre = pre_ref[:]
+
+    r0 = b_ref[:]
+    z0 = pre * r0
+    r_ref[:] = r0
+    p_ref[:] = z0
+    delta_ref[:] = jnp.zeros_like(r0)
+    rz0 = jnp.sum(r0 * z0)
+
+    def body(_, rz):
+        p = p_ref[:]
+        ax, ay, aa = _apply_jtj_rolls(
+            p[0], p[1], p[2], vm, s, c, fit, wf2, wr2
+        )
+        ap = jnp.stack([ax, ay, aa])
+        pap = jnp.sum(p * ap)
+        alpha = jnp.where(pap > 0.0, rz / pap, 0.0)
+        delta_ref[:] = delta_ref[:] + alpha * p
+        r = r_ref[:] - alpha * ap
+        r_ref[:] = r
+        z = pre * r
+        rz_new = jnp.sum(z * r)
+        beta = jnp.where(rz > 0.0, rz_new / rz, 0.0)
+        p_ref[:] = z + beta * p
+        return rz_new
+
+    jax.lax.fori_loop(0, n_ref[0, 0], body, rz0, unroll=False)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def pcg_pallas(
+    b: jnp.ndarray,
+    pre: jnp.ndarray,
+    s: jnp.ndarray,
+    c: jnp.ndarray,
+    vmasks: jnp.ndarray,
+    fitmask: jnp.ndarray,
+    wf2,
+    wr2,
+    iters,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Solve JtJ δ = b (b = −JtF) with `iters` PCG iterations, all in VMEM.
+
+    Single problem: b/pre (3,H,W), s/c/fitmask (H,W), vmasks (4,H,W).
+    """
+    H, W = s.shape
+    w = jnp.array([[wf2, wr2]], jnp.float32)
+    n = jnp.array([[iters]], jnp.int32)
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _pcg_kernel,
+        out_shape=jax.ShapeDtypeStruct((3, H, W), jnp.float32),
+        in_specs=[
+            vspec, vspec, vspec, vspec, vspec, vspec,
+            pl.BlockSpec((1, 2), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+        ],
+        out_specs=vspec,
+        scratch_shapes=[
+            pltpu.VMEM((3, H, W), jnp.float32),
+            pltpu.VMEM((3, H, W), jnp.float32),
+        ],
+        interpret=interpret,
+    )(b, pre, s, c, vmasks, fitmask, w, n)
+
+
+def pcg_solve_pallas(ops, s, c, jtf, diag, iters: int, interpret: bool = False):
+    """Drop-in replacement for ops.solver.pcg_solve (fixed iteration count):
+    returns (δ, iters)."""
+    from .solver import guarded_invert
+
+    pre = guarded_invert(diag)
+    delta = pcg_pallas(
+        -jtf, pre, s, c, ops.vmasks, ops.fitmask, ops.wf2, ops.wr2,
+        jnp.int32(iters), interpret=interpret,
+    )
+    return delta, jnp.float32(iters)

@@ -134,30 +134,31 @@ def rasterize(
     wx, wy = warp[0].ravel(), warp[1].ravel()
     m4f = m4.ravel()
 
-    def corner(cy, cx):
-        yy = jnp.clip(sy0 + cy, 0, H - 1)
+    def corner(cy_arr, cx):
+        yy = jnp.clip(cy_arr, 0, H - 1)
         xx = jnp.clip(sx0 + cx, 0, W - 1)
         idx = yy * W + xx
         return wx[idx], wy[idx], idx
 
-    corners = {}
-    for cy in range(window + 1):
-        for cx in range(window + 1):
-            corners[(cy, cx)] = corner(cy, cx)
-
     neg = jnp.int32(-1)
-    best_prio = jnp.full((H, W), neg, jnp.int32)
-    best_w = [jnp.zeros((H, W), jnp.float32) for _ in range(3)]
-    best_c = [jnp.zeros((H, W), jnp.int32) for _ in range(3)]
-    covered = jnp.zeros((H, W), bool)
+    init = (
+        jnp.full((H, W), neg, jnp.int32),            # best_prio
+        jnp.zeros((3, H, W), jnp.float32),           # best_w
+        jnp.zeros((3, H, W), jnp.int32),             # best corner indices
+        jnp.zeros((H, W), bool),                     # covered
+    )
 
-    for oy in range(window):
+    # scan over window rows (graph size ∝ window, not window²: an unrolled
+    # candidate loop makes the XLA compile explode at production sizes)
+    def row_body(carry, oy):
+        best_prio, best_w, best_c, covered = carry
+        cy0 = sy0 + oy
+        row0 = [corner(cy0, cx) for cx in range(window + 1)]
+        row1 = [corner(cy0 + 1, cx) for cx in range(window + 1)]
         for ox in range(window):
-            c00 = corners[(oy, ox)]
-            c01 = corners[(oy, ox + 1)]
-            c10 = corners[(oy + 1, ox)]
-            c11 = corners[(oy + 1, ox + 1)]
-            qyy = sy0 + oy
+            c00, c01 = row0[ox], row0[ox + 1]
+            c10, c11 = row1[ox], row1[ox + 1]
+            qyy = cy0
             qxx = sx0 + ox
             in_range = (
                 has_seed
@@ -166,7 +167,9 @@ def rasterize(
                 & (qxx >= 0)
                 & (qxx < W - 1)
             )
-            qvalid = in_range & m4f[jnp.clip(qyy, 0, H - 1) * W + jnp.clip(qxx, 0, W - 1)]
+            qvalid = in_range & m4f[
+                jnp.clip(qyy, 0, H - 1) * W + jnp.clip(qxx, 0, W - 1)
+            ]
             qprio = (qyy * (W - 1) + qxx) * 2
             for t, (A, B, Cc) in enumerate(((c00, c01, c10), (c10, c01, c11))):
                 ok, w0, w1, w2 = _lk_accept(
@@ -176,14 +179,18 @@ def rasterize(
                 prio = qprio + t
                 take = ok & (prio > best_prio)
                 best_prio = jnp.where(take, prio, best_prio)
-                best_w = [
-                    jnp.where(take, w, bw) for w, bw in zip((w0, w1, w2), best_w)
-                ]
-                best_c = [
-                    jnp.where(take, cc[2], bc)
-                    for cc, bc in zip((A, B, Cc), best_c)
-                ]
+                best_w = jnp.where(take, jnp.stack([w0, w1, w2]), best_w)
+                best_c = jnp.where(
+                    take, jnp.stack([A[2], B[2], Cc[2]]), best_c
+                )
                 covered = covered | ok
+        return (best_prio, best_w, best_c, covered), None
+
+    (best_prio, best_w, best_c, covered), _ = jax.lax.scan(
+        row_body, init, jnp.arange(window)
+    )
+    best_w = [best_w[0], best_w[1], best_w[2]]
+    best_c = [best_c[0], best_c[1], best_c[2]]
 
     rflat = rgb.reshape(rgb.shape[0], -1)
     col = (

@@ -64,10 +64,11 @@ class SolverConfig(NamedTuple):
     pcg_iters: float = 400.0
     q_tolerance: float = 0.0
     rz_tolerance: float = 0.0
+    backend: str = "xla"  # "xla" | "pallas" (VMEM-resident PCG; no early exit)
 
     @property
     def static_key(self):
-        return (self.num_anneal, self.gn_iters, self.max_pcg_iters)
+        return (self.num_anneal, self.gn_iters, self.max_pcg_iters, self.backend)
 
 
 def guarded_invert(diag: jnp.ndarray) -> jnp.ndarray:
@@ -157,9 +158,17 @@ def gn_step(x, ops, cimg, cfg: SolverConfig, pcg_iters, q_tol, rz_tol):
     Returns (x', pcg iterations used)."""
     s, c = trig(x)
     jtf, diag = jtf_and_diag(x, ops, cimg)
-    delta, iters = pcg_solve(
-        ops, s, c, jtf, diag, cfg.max_pcg_iters, pcg_iters, q_tol, rz_tol
-    )
+    if cfg.backend == "pallas":
+        from .pallas_pcg import pcg_solve_pallas
+
+        budget = jnp.minimum(
+            jnp.float32(cfg.max_pcg_iters), jnp.float32(pcg_iters)
+        ).astype(jnp.int32)
+        delta, iters = pcg_solve_pallas(ops, s, c, jtf, diag, budget)
+    else:
+        delta, iters = pcg_solve(
+            ops, s, c, jtf, diag, cfg.max_pcg_iters, pcg_iters, q_tol, rz_tol
+        )
     return x + delta, iters
 
 
