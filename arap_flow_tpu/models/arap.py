@@ -39,8 +39,9 @@ class DeformResult:
 
 @partial(jax.jit, static_argnames=("static_key",))
 def _solve_and_raster_impl(
-    ops: E.ArapOperands, rgb_f: jnp.ndarray, cfg: SolverConfig, static_key
+    ops: E.ArapOperands, rgb_f: jnp.ndarray, dyn, static_key
 ):
+    cfg = S._rebuild_config(dyn, static_key)
     x = S.anneal_solve(ops, cfg)
     flow = S.flow_from_state(x, ops)
     arap_mask = 1.0 - ops.mask  # rasterizer wants 0 = object
@@ -49,7 +50,7 @@ def _solve_and_raster_impl(
 
 
 def _solve_and_raster(ops, rgb_f, cfg: SolverConfig):
-    return _solve_and_raster_impl(ops, rgb_f, cfg, cfg.static_key)
+    return _solve_and_raster_impl(ops, rgb_f, cfg.dynamic, cfg.static_key)
 
 
 def crop_box(
@@ -208,7 +209,9 @@ def deform(
 
 
 @partial(jax.jit, static_argnames=("static_key",))
-def _solve_and_raster_batch_impl(ops, rgb_f, cfg: SolverConfig, static_key):
+def _solve_and_raster_batch_impl(ops, rgb_f, dyn, static_key):
+    cfg = S._rebuild_config(dyn, static_key)
+
     def one(o, r):
         x = S.anneal_solve(o, cfg)
         flow = S.flow_from_state(x, o)
@@ -227,5 +230,5 @@ def solve_and_raster_batch(ops_batched, rgb_batched, cfg: SolverConfig):
     many (frame, segment) problems solved in one compiled program.
     """
     return _solve_and_raster_batch_impl(
-        ops_batched, rgb_batched, cfg, cfg.static_key
+        ops_batched, rgb_batched, cfg.dynamic, cfg.static_key
     )

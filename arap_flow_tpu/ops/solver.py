@@ -70,6 +70,27 @@ class SolverConfig(NamedTuple):
     def static_key(self):
         return (self.num_anneal, self.gn_iters, self.max_pcg_iters, self.backend)
 
+    @property
+    def dynamic(self):
+        """Traced knobs (floats) — jit-safe companion of static_key."""
+        return (
+            float(self.pcg_iters),
+            float(self.q_tolerance),
+            float(self.rz_tolerance),
+        )
+
+
+def _rebuild_config(dyn, static_key) -> "SolverConfig":
+    return SolverConfig(
+        num_anneal=static_key[0],
+        gn_iters=static_key[1],
+        max_pcg_iters=static_key[2],
+        pcg_iters=dyn[0],
+        q_tolerance=dyn[1],
+        rz_tolerance=dyn[2],
+        backend=static_key[3],
+    )
+
 
 def guarded_invert(diag: jnp.ndarray) -> jnp.ndarray:
     """CERES-style guarded Jacobi inverse: 1/(1+√d)² (solverGPUGaussNewton.t:323-332).
@@ -208,7 +229,8 @@ def flow_from_state(x: jnp.ndarray, ops: ArapOperands) -> jnp.ndarray:
 
 
 @partial(jax.jit, static_argnames=("static_key",))
-def _solve_impl(ops, cfg: SolverConfig, static_key):
+def _solve_impl(ops, dyn, static_key):
+    cfg = _rebuild_config(dyn, static_key)
     x, iters = anneal_solve_stats(ops, cfg)
     return x, flow_from_state(x, ops), iters
 
@@ -216,17 +238,19 @@ def _solve_impl(ops, cfg: SolverConfig, static_key):
 def solve(ops: ArapOperands, cfg: SolverConfig):
     """Jitted full solve; returns (state (3,H,W), flow (2,H,W)). One compiled
     program per (shape, loop structure); tolerances/budget are traced."""
-    x, flow, _ = _solve_impl(ops, cfg, cfg.static_key)
+    x, flow, _ = _solve_impl(ops, cfg.dynamic, cfg.static_key)
     return x, flow
 
 
 def solve_stats(ops: ArapOperands, cfg: SolverConfig):
     """Like solve() but also returns total PCG iterations executed."""
-    return _solve_impl(ops, cfg, cfg.static_key)
+    return _solve_impl(ops, cfg.dynamic, cfg.static_key)
 
 
 @partial(jax.jit, static_argnames=("static_key",))
-def _solve_batch_impl(ops, cfg: SolverConfig, static_key):
+def _solve_batch_impl(ops, dyn, static_key):
+    cfg = _rebuild_config(dyn, static_key)
+
     def one(o):
         x, iters = anneal_solve_stats(o, cfg)
         return x, flow_from_state(x, o), iters
@@ -238,7 +262,7 @@ def solve_batch(ops: ArapOperands, cfg: SolverConfig):
     """Batched solve over the leading axis of every operand leaf; returns
     (states (B,3,H,W), flows (B,2,H,W)). Replaces the reference's one-CUDA-
     process-per-problem task farm (para_gen.py:560-567) with on-chip batching."""
-    xs, flows, _ = _solve_batch_impl(ops, cfg, cfg.static_key)
+    xs, flows, _ = _solve_batch_impl(ops, cfg.dynamic, cfg.static_key)
     return xs, flows
 
 
