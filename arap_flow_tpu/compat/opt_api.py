@@ -1,0 +1,175 @@
+"""Opt C-API compatibility facade.
+
+The reference exposes its solver behind a 10-function C API
+(ARAP/API/release/include/Opt.h:35-71), consumed by OptSolver.h:43-91:
+NewState → ProblemDefine → ProblemPlan → [SetSolverParameter] →
+ProblemSolve | (ProblemInit; ProblemStep*; ProblemCurrentCost) → PlanFree →
+ProblemDelete. Problem parameters arrive as an order-significant list
+(NamedParameters.h:34-47): for the ARAP plan, slots 0-6 are Offset, Angle,
+UrShape, Constraints, Mask, w_fitSqrt, w_regSqrt (arap_plan.t:2-8).
+
+This module reproduces that lifecycle over the TPU solver so code written
+against the Opt API maps 1:1. The "plan file" argument selects the built-in
+ARAP energy (there is no kernel generator to run — XLA is the JIT); numpy
+arrays stand in for device pointers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+
+from ..ops import energy as E
+from ..ops import solver as S
+
+
+@dataclass
+class OptState:
+    problems: dict = field(default_factory=dict)
+    plans: dict = field(default_factory=dict)
+    next_id: int = 1
+
+
+@dataclass
+class _Problem:
+    name: str
+
+
+@dataclass
+class _Plan:
+    problem: _Problem
+    dims: tuple
+    params: dict = field(default_factory=dict)
+    solver_params: dict = field(
+        # defaults: solverGPUGaussNewton.t:26-39
+        default_factory=lambda: {"nIterations": 10, "lIterations": 10}
+    )
+    state: np.ndarray | None = None
+    ops: E.ArapOperands | None = None
+    n_iter_done: int = 0
+    cost: float = float("nan")
+
+
+def Opt_NewState(verbosity: int = 0) -> OptState:
+    """Opt.h: create the library state (no embedded Lua/Terra needed here)."""
+    return OptState()
+
+
+def Opt_ProblemDefine(state: OptState, plan_path: str, solver_kind: str) -> _Problem:
+    """Opt.h: register a problem. `plan_path` names the energy; only the
+    built-in ARAP plan is available (the framework compiles energies with XLA,
+    not a DSL). solver_kind: 'gaussNewtonGPU' | 'LMGPU' per
+    CombinedSolverBase.h:74-81."""
+    if solver_kind not in ("gaussNewtonGPU", "LMGPU"):
+        raise ValueError(f"unknown solver kind {solver_kind}")
+    p = _Problem(name=solver_kind)
+    state.problems[id(p)] = p
+    return p
+
+
+def Opt_ProblemPlan(state: OptState, problem: _Problem, dims) -> _Plan:
+    """Opt.h: 'compile' the plan for given dims (W, H). XLA compilation itself
+    happens lazily at the first solve, cached per shape."""
+    plan = _Plan(problem=problem, dims=tuple(int(d) for d in dims))
+    state.plans[id(plan)] = plan
+    return plan
+
+
+def Opt_SetSolverParameter(state: OptState, plan: _Plan, name: str, value) -> None:
+    plan.solver_params[name] = (
+        float(np.asarray(value).ravel()[0])
+        if np.asarray(value).size
+        else value
+    )
+
+
+def _bind(plan: _Plan, problem_params: list) -> None:
+    """Order-significant parameter binding (NamedParameters ordering for the
+    ARAP plan, arap_plan.t:2-8)."""
+    offset, angle, urshape, constraints, mask, w_fit_sqrt, w_reg_sqrt = (
+        problem_params
+    )
+    W, H = plan.dims
+    mask = np.asarray(mask, np.float32).reshape(H, W)
+    cons_img = np.asarray(constraints, np.float32).reshape(H, W, 2)
+
+    weights = E.ArapWeights(
+        w_fit=float(np.asarray(w_fit_sqrt) ** 2),
+        w_reg=float(np.asarray(w_reg_sqrt) ** 2),
+    )
+    # build operands directly from the bound images (constraint image already
+    # annealed by the caller, CombinedSolver.h:223-242)
+    import jax.numpy as jnp
+
+    arap_mask = (mask != 0).astype(np.uint8) * 255
+    ops = E.build_operands(jnp.asarray(arap_mask), np.zeros((0, 4), np.int32),
+                           weights)
+    fit = ((cons_img[:, :, 0] >= 0) & (cons_img[:, :, 1] >= 0)).astype(
+        np.float32
+    ) * np.asarray(ops.mask)
+    ops = ops._replace(
+        con_src=jnp.asarray(cons_img.transpose(2, 0, 1)),
+        con_tgt=jnp.asarray(cons_img.transpose(2, 0, 1)),
+        fitmask=jnp.asarray(fit),
+    )
+    plan.ops = ops
+    x = np.zeros((3, H, W), np.float32)
+    x[:2] = np.asarray(offset, np.float32).reshape(H, W, 2).transpose(2, 0, 1)
+    x[2] = np.asarray(angle, np.float32).reshape(H, W)
+    plan.state = x
+
+
+def Opt_ProblemInit(state: OptState, plan: _Plan, problem_params: list) -> None:
+    _bind(plan, problem_params)
+    plan.n_iter_done = 0
+
+
+def Opt_ProblemStep(state: OptState, plan: _Plan, problem_params: list) -> int:
+    """One nonlinear iteration; returns nonzero while iterations remain
+    (Opt.h / o.t:2548-2551 loop contract)."""
+    import jax.numpy as jnp
+
+    if plan.state is None:
+        _bind(plan, problem_params)
+    n = int(plan.solver_params.get("nIterations", 10))
+    if plan.n_iter_done >= n:
+        return 0
+    l_iters = float(plan.solver_params.get("lIterations", 10))
+    cfg = S.SolverConfig(
+        num_anneal=1, gn_iters=1, max_pcg_iters=max(int(l_iters), 1),
+        pcg_iters=l_iters,
+    )
+    x = jnp.asarray(plan.state)
+    cimg = plan.ops.con_tgt
+    x, _ = S.gn_step(x, plan.ops, cimg, cfg, jnp.float32(l_iters),
+                     jnp.float32(0.0), jnp.float32(0.0))
+    plan.state = np.asarray(x)
+    plan.cost = float(E.cost(x, plan.ops, cimg))
+    plan.n_iter_done += 1
+    return 1 if plan.n_iter_done < n else 0
+
+
+def Opt_ProblemSolve(state: OptState, plan: _Plan, problem_params: list) -> None:
+    """Init + step until done (OptSolver.h:72-91 uses exactly this loop)."""
+    Opt_ProblemInit(state, plan, problem_params)
+    while Opt_ProblemStep(state, plan, problem_params):
+        pass
+    # write the solution back into the caller's unknown buffers (the Opt API
+    # mutates the bound Offset/Angle images in place)
+    offset, angle = problem_params[0], problem_params[1]
+    W, H = plan.dims
+    np.asarray(offset).reshape(H, W, 2)[...] = plan.state[:2].transpose(1, 2, 0)
+    np.asarray(angle).reshape(H, W)[...] = plan.state[2]
+
+
+def Opt_ProblemCurrentCost(state: OptState, plan: _Plan) -> float:
+    return plan.cost
+
+
+def Opt_PlanFree(state: OptState, plan: _Plan) -> None:
+    state.plans.pop(id(plan), None)
+
+
+def Opt_ProblemDelete(state: OptState, problem: _Problem) -> None:
+    state.problems.pop(id(problem), None)

@@ -165,11 +165,26 @@ def pcg_pallas(
     )(b, pre, s, c, vmasks, fitmask, w, n)
 
 
-def pcg_solve_pallas(ops, s, c, jtf, diag, iters: int, interpret: bool = False):
-    """Drop-in replacement for ops.solver.pcg_solve (fixed iteration count):
-    returns (δ, iters)."""
-    from .solver import guarded_invert
+# resident planes: 13 input + 3 output + 6 scratch + live temporaries
+# (measured: the 384×512 compile asked for 22.17 MB ≈ 29.6 planes)
+_PLANES = 30
+_VMEM_BUDGET = 14 * 1024 * 1024  # headroom under the 16 MB/core VMEM
 
+
+def fits_vmem(H: int, W: int) -> bool:
+    """Whether the VMEM-resident kernel fits this problem size."""
+    return _PLANES * H * W * 4 <= _VMEM_BUDGET
+
+
+def pcg_solve_pallas(ops, s, c, jtf, diag, iters, interpret: bool = False):
+    """Drop-in replacement for ops.solver.pcg_solve (fixed iteration count):
+    returns (δ, iters). Falls back to the XLA path when the problem exceeds
+    the VMEM budget (crop buckets are sized to stay inside it)."""
+    from .solver import guarded_invert, pcg_solve
+
+    H, W = s.shape
+    if not fits_vmem(H, W):
+        return pcg_solve(ops, s, c, jtf, diag, 10 ** 9, iters)
     pre = guarded_invert(diag)
     delta = pcg_pallas(
         -jtf, pre, s, c, ops.vmasks, ops.fitmask, ops.wf2, ops.wr2,

@@ -56,10 +56,11 @@ def main():
 
     print("devices:", jax.devices())
 
-    # bucket-sized problem: correctness + speed
-    ops = bucket_problem(384, 512)
-    f_x = run(ops, S.SolverConfig(backend="xla"), "bucket 384x512 xla")
-    f_p = run(ops, S.SolverConfig(backend="pallas"), "bucket 384x512 pallas")
+    # bucket-sized problem: correctness + speed (bucket sized to the VMEM
+    # budget of the resident kernel)
+    ops = bucket_problem(256, 448)
+    f_x = run(ops, S.SolverConfig(backend="xla"), "bucket 256x448 xla")
+    f_p = run(ops, S.SolverConfig(backend="pallas"), "bucket 256x448 pallas")
     d = np.abs(f_x - f_p)
     print(f"xla-vs-pallas max|Δflow| = {d.max():.6f}  mean = {d.mean():.8f}")
 

@@ -1,0 +1,119 @@
+"""Tests for the generic autodiff GN solver, the LM variant, and the Opt C-API
+compatibility facade."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from arap_flow_tpu.io.constraints import add_border_pins
+from arap_flow_tpu.ops import energy as E
+from arap_flow_tpu.ops import generic as G
+from arap_flow_tpu.ops import solver as S
+from arap_flow_tpu.ops.lm import LMConfig, lm_solve
+
+
+def _problem(H=14, W=18, seed=0):
+    arap_mask = np.zeros((H, W), np.uint8)
+    cons = np.array([[4, 5, 6, 7], [11, 4, 12, 6]], np.int32)
+    cons = add_border_pins(cons, W, H)
+    ops = E.build_operands(arap_mask, cons)
+    cimg = E.anneal_constraints(ops, 1.0)
+    return ops, cimg
+
+
+def test_generic_matches_specialized_arap():
+    """The autodiff-generic GN must reproduce the hand-derived ARAP solver."""
+    ops, cimg = _problem()
+    rfun = lambda x: E.residuals(x, ops, cimg)
+    diag_fn = lambda x: E.jtf_and_diag(x, ops, cimg)[1]
+    x0 = E.init_state(ops)
+
+    xg = jax.jit(
+        lambda x: G.gn_solve(rfun, x, gn_iters=3, pcg_iters=80, diag_fn=diag_fn)
+    )(x0)
+
+    cfg = S.SolverConfig(num_anneal=1, gn_iters=3, max_pcg_iters=80,
+                         pcg_iters=80.0)
+    xs = S.gn_solve_ref(x0, ops, cimg, cfg) if hasattr(S, "gn_solve_ref") else None
+    # run the specialised path manually for identical structure
+    x = x0
+    for _ in range(3):
+        x, _ = S.gn_step(x, ops, cimg, cfg, 80.0, 0.0, 0.0)
+    np.testing.assert_allclose(np.asarray(xg), np.asarray(x), atol=1e-4)
+
+
+def test_generic_cost_jtf_jtjp():
+    ops, cimg = _problem(seed=1)
+    rng = np.random.default_rng(2)
+    rfun = lambda x: E.residuals(x, ops, cimg)
+    x = E.init_state(ops) + 0.2 * jnp.asarray(
+        rng.standard_normal((3, *ops.mask.shape)), jnp.float32
+    )
+    np.testing.assert_allclose(
+        float(G.cost(rfun, x)), float(E.cost(x, ops, cimg)), rtol=1e-6
+    )
+    g = G.jtf(rfun, x)
+    g2, _ = E.jtf_and_diag(x, ops, cimg)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(g2), atol=2e-5)
+    p = jnp.asarray(rng.standard_normal(x.shape), jnp.float32)
+    s, c = E.trig(x)
+    np.testing.assert_allclose(
+        np.asarray(G.make_jtj_apply(rfun, x)(p)),
+        np.asarray(E.apply_jtj(p, ops, s, c)),
+        atol=3e-5,
+    )
+
+
+def test_lm_converges_like_gn():
+    """On a well-behaved problem LM must reach (approximately) the GN solution."""
+    ops, cimg = _problem()
+    cfg_gn = S.SolverConfig(num_anneal=4, gn_iters=4, max_pcg_iters=150,
+                            pcg_iters=150.0)
+    x_gn, flow_gn = S.solve(ops, cfg_gn)
+    cfg_lm = LMConfig(num_anneal=4, max_outer=6, pcg_iters=150)
+    x_lm, flow_lm = lm_solve(ops, cfg_lm)
+    c_gn = float(E.cost(x_gn, ops, cimg))
+    c_lm = float(E.cost(x_lm, ops, cimg))
+    assert c_lm <= c_gn * 1.5 + 1e-3, (c_lm, c_gn)
+    # flows agree to sub-pixel on the constrained region
+    d = np.abs(np.asarray(flow_gn) - np.asarray(flow_lm))
+    assert d.mean() < 0.15, d.mean()
+
+
+def test_opt_api_lifecycle():
+    """Full Opt.h lifecycle drives a solve and writes the unknowns back."""
+    from arap_flow_tpu import compat as opt
+
+    H, W = 12, 16
+    state = opt.Opt_NewState()
+    prob = opt.Opt_ProblemDefine(state, "arap_plan.t", "gaussNewtonGPU")
+    plan = opt.Opt_ProblemPlan(state, prob, (W, H))
+    opt.Opt_SetSolverParameter(state, plan, "nIterations", 4)
+    opt.Opt_SetSolverParameter(state, plan, "lIterations", 80)
+
+    gx, gy = np.meshgrid(np.arange(W, dtype=np.float32),
+                         np.arange(H, dtype=np.float32))
+    offset = np.stack([gx, gy], -1).copy()
+    angle = np.zeros((H, W), np.float32)
+    urshape = offset.copy()
+    constraints = np.full((H, W, 2), -1.0, np.float32)
+    constraints[5, 7] = (9.0, 6.0)  # pull pixel (7,5) to (9,6)
+    # pin the border to itself
+    for x in range(W):
+        constraints[0, x] = (x, 0)
+        constraints[H - 1, x] = (x, H - 1)
+    for y in range(H):
+        constraints[y, 0] = (0, y)
+        constraints[y, W - 1] = (W - 1, y)
+    mask = np.zeros((H, W), np.float32)
+    params = [offset, angle, urshape, constraints, mask,
+              np.float32(10.0), np.float32(0.1)]
+
+    opt.Opt_ProblemSolve(state, plan, params)
+    cost = opt.Opt_ProblemCurrentCost(state, plan)
+    assert np.isfinite(cost)
+    # the constrained pixel moved toward its target
+    moved = offset[5, 7] - np.array([7.0, 5.0])
+    assert moved[0] > 1.0 and moved[1] > 0.4, offset[5, 7]
+    opt.Opt_PlanFree(state, plan)
+    opt.Opt_ProblemDelete(state, prob)
