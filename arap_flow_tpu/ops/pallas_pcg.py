@@ -91,6 +91,7 @@ def _pcg_kernel(
     # scratch
     r_ref,      # (3, H, W)
     p_ref,      # (3, H, W)
+    ap_ref,     # (3, H, W)
 ):
     wf2 = w_ref[0, 0]
     wr2 = w_ref[0, 1]
@@ -113,6 +114,7 @@ def _pcg_kernel(
             p[0], p[1], p[2], vm, s, c, fit, wf2, wr2
         )
         ap = jnp.stack([ax, ay, aa])
+        ap_ref[:] = ap
         pap = jnp.sum(p * ap)
         alpha = jnp.where(pap > 0.0, rz / pap, 0.0)
         delta_ref[:] = delta_ref[:] + alpha * p
@@ -160,7 +162,11 @@ def pcg_pallas(
         scratch_shapes=[
             pltpu.VMEM((3, H, W), jnp.float32),
             pltpu.VMEM((3, H, W), jnp.float32),
+            pltpu.VMEM((3, H, W), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(b, pre, s, c, vmasks, fitmask, w, n)
 

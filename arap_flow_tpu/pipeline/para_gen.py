@@ -253,11 +253,20 @@ def _ensure_dirs(p: PairPaths):
             os.makedirs(d, exist_ok=True)
 
 
+def _png_bytes(arr: np.ndarray) -> bytes:
+    import io as _io
+
+    buf = _io.BytesIO()
+    Image.fromarray(np.asarray(arr, np.uint8)).save(buf, format="PNG")
+    return buf.getvalue()
+
+
 def process_pair(
     flags: PipelineFlags,
     p: PairPaths,
     deformer: ArapDeformer,
     bgpool: BackgroundPool,
+    writer=None,
 ) -> list[str] | None:
     """Run one frame pair end-to-end. Returns the lmdb triple
     [inpRGB, wRGB, flo] on success, None when skipped."""
@@ -333,9 +342,15 @@ def process_pair(
     if bgim is not None:
         wrgb = add_bg(wrgb, wmask, bgim)
 
-    flo.flow_write(p.flow_gen, flow.astype(np.float32))
-    save_image(p.rgb2_gen, wrgb)
-    save_image(p.msk2_gen, wmask)
+    if writer is not None:
+        # overlap IO with the next pair's device work (native writer pool)
+        writer.submit_flo(p.flow_gen, flow.astype(np.float32))
+        writer.submit_bytes(p.rgb2_gen, _png_bytes(wrgb))
+        writer.submit_bytes(p.msk2_gen, _png_bytes(wmask))
+    else:
+        flo.flow_write(p.flow_gen, flow.astype(np.float32))
+        save_image(p.rgb2_gen, wrgb)
+        save_image(p.msk2_gen, wmask)
     return [p.rgb1_gen, p.rgb2_gen, p.flow_gen]
 
 
@@ -356,17 +371,31 @@ def main_pipeline(
     print(f"{len(pairs)} frame pairs to process")
     triples = []
     begin = time.time()
-    for i, p in enumerate(pairs):
-        print(f"{100.0 * i / max(len(pairs), 1):.3f}%", flush=True)
-        try:
-            t = process_pair(flags, p, deformer, bgpool)
-        except AssertionError:
-            raise
-        except Exception as e:  # keep generating; log the failure
-            log.warning("pair failed: %s (%s)", p.rgb1_org, e)
-            t = None
-        if t is not None:
-            triples.append(" ".join(t))
+
+    writer = None
+    try:
+        from ..native.runtime import AsyncWriter, native_available
+
+        if native_available():
+            writer = AsyncWriter(threads=4)
+    except Exception:
+        writer = None
+
+    try:
+        for i, p in enumerate(pairs):
+            print(f"{100.0 * i / max(len(pairs), 1):.3f}%", flush=True)
+            try:
+                t = process_pair(flags, p, deformer, bgpool, writer)
+            except AssertionError:
+                raise
+            except Exception as e:  # keep generating; log the failure
+                log.warning("pair failed: %s (%s)", p.rgb1_org, e)
+                t = None
+            if t is not None:
+                triples.append(" ".join(t))
+    finally:
+        if writer is not None:
+            writer.close()
     print(f"done in {(time.time() - begin) / 60:.2f} mins")
 
     # final existence sweep (para_gen.py:594-603)
