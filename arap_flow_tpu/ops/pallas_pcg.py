@@ -171,10 +171,13 @@ def pcg_pallas(
     )(b, pre, s, c, vmasks, fitmask, w, n)
 
 
-# resident planes: 13 input + 3 output + 6 scratch + live temporaries
-# (measured: the 384×512 compile asked for 22.17 MB ≈ 29.6 planes)
+# resident planes: 13 input + 3 output + 9 scratch + live temporaries
+# (measured: the 384×512 compile asked for ~30 plane-equivalents)
 _PLANES = 30
-_VMEM_BUDGET = 14 * 1024 * 1024  # headroom under the 16 MB/core VMEM
+# Empirically v5e VMEM accommodates ≫ the 16 MB scoped-vmem compiler default:
+# full-frame 480×896 (~50 MB resident) compiles and runs 1.4× faster than the
+# XLA path (scripts/pallas_check.py probe). Budget kept below that with margin.
+_VMEM_BUDGET = 64 * 1024 * 1024
 
 
 def fits_vmem(H: int, W: int) -> bool:

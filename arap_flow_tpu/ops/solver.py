@@ -64,7 +64,25 @@ class SolverConfig(NamedTuple):
     pcg_iters: float = 400.0
     q_tolerance: float = 0.0
     rz_tolerance: float = 0.0
-    backend: str = "xla"  # "xla" | "pallas" (VMEM-resident PCG; no early exit)
+    # "auto": VMEM-resident Pallas PCG on TPU when the problem fits, XLA
+    # otherwise (CPU, oversized problems, or when early-exit tolerances are
+    # requested — the resident kernel runs a fixed budget).
+    backend: str = "auto"  # "auto" | "xla" | "pallas"
+
+    def resolve(self) -> "SolverConfig":
+        """Resolve backend='auto' to a concrete backend (must run OUTSIDE jit,
+        where tolerances are plain floats)."""
+        if self.backend != "auto":
+            return self
+        import jax as _jax
+
+        on_tpu = _jax.default_backend() not in ("cpu", "gpu")
+        no_tols = (
+            float(self.q_tolerance) == 0.0 and float(self.rz_tolerance) == 0.0
+        )
+        return self._replace(
+            backend="pallas" if (on_tpu and no_tols) else "xla"
+        )
 
     @property
     def static_key(self):
@@ -179,7 +197,10 @@ def gn_step(x, ops, cimg, cfg: SolverConfig, pcg_iters, q_tol, rz_tol):
     Returns (x', pcg iterations used)."""
     s, c = trig(x)
     jtf, diag = jtf_and_diag(x, ops, cimg)
-    if cfg.backend == "pallas":
+    backend = cfg.backend
+    if backend == "auto":  # direct (non-jit) callers; entry points pre-resolve
+        backend = cfg.resolve().backend
+    if backend == "pallas":
         from .pallas_pcg import pcg_solve_pallas
 
         budget = jnp.minimum(
@@ -238,12 +259,14 @@ def _solve_impl(ops, dyn, static_key):
 def solve(ops: ArapOperands, cfg: SolverConfig):
     """Jitted full solve; returns (state (3,H,W), flow (2,H,W)). One compiled
     program per (shape, loop structure); tolerances/budget are traced."""
+    cfg = cfg.resolve()
     x, flow, _ = _solve_impl(ops, cfg.dynamic, cfg.static_key)
     return x, flow
 
 
 def solve_stats(ops: ArapOperands, cfg: SolverConfig):
     """Like solve() but also returns total PCG iterations executed."""
+    cfg = cfg.resolve()
     return _solve_impl(ops, cfg.dynamic, cfg.static_key)
 
 
@@ -262,6 +285,7 @@ def solve_batch(ops: ArapOperands, cfg: SolverConfig):
     """Batched solve over the leading axis of every operand leaf; returns
     (states (B,3,H,W), flows (B,2,H,W)). Replaces the reference's one-CUDA-
     process-per-problem task farm (para_gen.py:560-567) with on-chip batching."""
+    cfg = cfg.resolve()
     xs, flows, _ = _solve_batch_impl(ops, cfg.dynamic, cfg.static_key)
     return xs, flows
 

@@ -83,6 +83,7 @@ class PipelineFlags:
     dm_bin: str | None = None
     schedule: str = "parity"  # parity | fast
     seed: int | None = None
+    mode: str = "simple"  # simple (per-pair) | batched (bucketed cross-pair)
 
 
 def scale_rotate(im: Image.Image, mk: Image.Image, size):
@@ -261,15 +262,25 @@ def _png_bytes(arr: np.ndarray) -> bytes:
     return buf.getvalue()
 
 
-def process_pair(
-    flags: PipelineFlags,
-    p: PairPaths,
-    deformer: ArapDeformer,
-    bgpool: BackgroundPool,
-    writer=None,
-) -> list[str] | None:
-    """Run one frame pair end-to-end. Returns the lmdb triple
-    [inpRGB, wRGB, flo] on success, None when skipped."""
+from dataclasses import dataclass as _dataclass
+
+
+@_dataclass
+class PairWork:
+    """Host-side products of one pair's prep stage, awaiting solves."""
+
+    p: PairPaths
+    out1: np.ndarray  # frame1 with background composited
+    bgim: np.ndarray | None
+    mk1: np.ndarray
+    segments: list  # [(seg_id, arap_mask (H,W) u8, constraints (N,4))]
+
+
+def prep_pair(
+    flags: PipelineFlags, p: PairPaths, bgpool: BackgroundPool
+) -> PairWork | None:
+    """Host + matcher stage: preprocessing, matching, filtering, backgrounds,
+    per-segment mask/constraint splitting. No solver work."""
     _ensure_dirs(p)
 
     im1p = Image.open(p.rgb1_org).convert("RGB")
@@ -307,15 +318,13 @@ def process_pair(
     out1 = add_bg(im1, mk1, bgim) if bgim is not None else im1
     save_image(p.rgb1_gen, out1)
 
-    H, W = mk1.shape
+    segments = []
     if not flags.multseg:
         arap_mask = np.zeros_like(mk1, dtype=np.uint8)
         arap_mask[mk1 == 0] = ARAP_BG  # para_gen.py:514-517
         save_image(p.msk1_gen, arap_mask)
-        res = deformer.deform(out1, arap_mask, kept)
-        flow, wrgb, wmask = res.flow, res.warped_rgb, res.warped_mask
+        segments.append((0, arap_mask, kept))
     else:
-        seg_results = []
         for s in np.unique(seg_ids):
             if s == 0:
                 continue
@@ -323,27 +332,29 @@ def process_pair(
             arap_mask[mk1 == s] = 0  # para_gen.py:526-528
             cons_s = kept[seg_ids == s]
             assert len(cons_s) > 0, f"Segment {s} has no constraint"
-            seg_results.append(deformer.deform(out1, arap_mask, cons_s))
-        if not seg_results:
+            segments.append((int(s), arap_mask, cons_s))
+        if not segments:
             return None
         save_image(p.msk1_gen, np.where(mk1 == 0, ARAP_BG, 0).astype(np.uint8))
-        # composition: later segments overwrite (flatten, para_gen.py:151-164)
-        flow = seg_results[0].flow.copy()
-        wrgb = seg_results[0].warped_rgb.copy()
-        wmask = seg_results[0].warped_mask.copy()
-        for r in seg_results[1:]:
-            ob = r.warped_mask != 0
-            flow[ob] = r.flow[ob]
-            wrgb[ob] = r.warped_rgb[ob]
-            wmask[ob] = r.warped_mask[ob]
+    return PairWork(p=p, out1=out1, bgim=bgim, mk1=mk1, segments=segments)
 
-    # warped RGB gets the same background where uncovered (do_arap,
-    # para_gen.py:207-212)
-    if bgim is not None:
-        wrgb = add_bg(wrgb, wmask, bgim)
+
+def finish_pair(work: PairWork, seg_results: list, writer=None) -> list[str]:
+    """Compose per-segment results (flatten, para_gen.py:151-164), re-apply the
+    background to uncovered warped pixels, write outputs."""
+    p = work.p
+    flow = seg_results[0].flow.copy()
+    wrgb = seg_results[0].warped_rgb.copy()
+    wmask = seg_results[0].warped_mask.copy()
+    for r in seg_results[1:]:
+        ob = r.warped_mask != 0
+        flow[ob] = r.flow[ob]
+        wrgb[ob] = r.warped_rgb[ob]
+        wmask[ob] = r.warped_mask[ob]
+    if work.bgim is not None:
+        wrgb = add_bg(wrgb, wmask, work.bgim)
 
     if writer is not None:
-        # overlap IO with the next pair's device work (native writer pool)
         writer.submit_flo(p.flow_gen, flow.astype(np.float32))
         writer.submit_bytes(p.rgb2_gen, _png_bytes(wrgb))
         writer.submit_bytes(p.msk2_gen, _png_bytes(wmask))
@@ -352,6 +363,78 @@ def process_pair(
         save_image(p.rgb2_gen, wrgb)
         save_image(p.msk2_gen, wmask)
     return [p.rgb1_gen, p.rgb2_gen, p.flow_gen]
+
+
+def process_pair(
+    flags: PipelineFlags,
+    p: PairPaths,
+    deformer: ArapDeformer,
+    bgpool: BackgroundPool,
+    writer=None,
+) -> list[str] | None:
+    """Run one frame pair end-to-end (simple sequential mode). Returns the
+    lmdb triple [inpRGB, wRGB, flo] on success, None when skipped."""
+    work = prep_pair(flags, p, bgpool)
+    if work is None:
+        return None
+    seg_results = [
+        deformer.deform(work.out1, arap_mask, cons)
+        for _, arap_mask, cons in work.segments
+    ]
+    return finish_pair(work, seg_results, writer)
+
+
+def process_chunk_batched(
+    flags: PipelineFlags,
+    pairs: list[PairPaths],
+    cfg,
+    weights,
+    bgpool: BackgroundPool,
+    writer=None,
+) -> list[str]:
+    """Batched mode: prep a chunk of pairs, bucket all segments across pairs,
+    run each bucket as one batched program, then compose/write per pair."""
+    from .batch import make_task, run_tasks
+
+    works: list[PairWork] = []
+    tasks, fallbacks = [], []
+    for p in pairs:
+        try:
+            w = prep_pair(flags, p, bgpool)
+        except AssertionError:
+            raise
+        except Exception as e:
+            log.warning("pair prep failed: %s (%s)", p.rgb1_org, e)
+            w = None
+        if w is None:
+            continue
+        idx = len(works)
+        works.append(w)
+        for seg_id, arap_mask, cons in w.segments:
+            t = make_task(idx, seg_id, w.out1, arap_mask, cons, weights)
+            if t is not None:
+                tasks.append(t)
+            else:
+                from ..io.constraints import add_border_pins
+
+                H, W = arap_mask.shape
+                fallbacks.append(
+                    (idx, seg_id, w.out1, arap_mask,
+                     add_border_pins(cons, W, H))
+                )
+
+    results = run_tasks(tasks, fallbacks, cfg)
+    triples = []
+    for idx, w in enumerate(works):
+        seg_results = [
+            results[(idx, seg_id)] for seg_id, _, _ in w.segments
+            if (idx, seg_id) in results
+        ]
+        if seg_results:
+            triples.append(" ".join(finish_pair(w, seg_results, writer)))
+    return triples
+
+
 
 
 def make_solver_config(schedule: str) -> SolverConfig:
@@ -382,17 +465,27 @@ def main_pipeline(
         writer = None
 
     try:
-        for i, p in enumerate(pairs):
-            print(f"{100.0 * i / max(len(pairs), 1):.3f}%", flush=True)
-            try:
-                t = process_pair(flags, p, deformer, bgpool, writer)
-            except AssertionError:
-                raise
-            except Exception as e:  # keep generating; log the failure
-                log.warning("pair failed: %s (%s)", p.rgb1_org, e)
-                t = None
-            if t is not None:
-                triples.append(" ".join(t))
+        if flags.mode == "batched":
+            cfg = deformer.cfg
+            chunk = max(flags.narap, 1) * 2
+            for i in range(0, len(pairs), chunk):
+                print(f"{100.0 * i / max(len(pairs), 1):.3f}%", flush=True)
+                triples += process_chunk_batched(
+                    flags, pairs[i : i + chunk], cfg, deformer.weights,
+                    bgpool, writer,
+                )
+        else:
+            for i, p in enumerate(pairs):
+                print(f"{100.0 * i / max(len(pairs), 1):.3f}%", flush=True)
+                try:
+                    t = process_pair(flags, p, deformer, bgpool, writer)
+                except AssertionError:
+                    raise
+                except Exception as e:  # keep generating; log the failure
+                    log.warning("pair failed: %s (%s)", p.rgb1_org, e)
+                    t = None
+                if t is not None:
+                    triples.append(" ".join(t))
     finally:
         if writer is not None:
             writer.close()
@@ -438,6 +531,10 @@ def parse_args(argv=None) -> PipelineFlags:
                         help="ignored (solver is built in); parity flag")
     parser.add_argument("--schedule", choices=["parity", "fast"],
                         default="parity")
+    parser.add_argument("--mode", choices=["simple", "batched"],
+                        default="simple",
+                        help="batched buckets segments across pairs into one "
+                        "compiled program per bucket shape")
     parser.add_argument("--seed", type=int, default=None)
     a = parser.parse_args(argv)
     assert 0 < a.fd < 20, "Invalid fd number!"
@@ -455,6 +552,7 @@ def parse_args(argv=None) -> PipelineFlags:
         dm_bin=a.dm_bin,
         schedule=a.schedule,
         seed=a.seed,
+        mode=a.mode,
     )
 
 

@@ -62,16 +62,7 @@ def _segment_problem(seed, center, size):
 
 
 def main():
-    import jax
-    import jax.numpy as jnp
-
-    from arap_flow_tpu.io.constraints import add_border_pins
-    from arap_flow_tpu.models.arap import (
-        ArapDeformer,
-        crop_box,
-        solve_and_raster_batch,
-    )
-    from arap_flow_tpu.ops import energy as E
+    from arap_flow_tpu.models.arap import ArapDeformer
     from arap_flow_tpu.ops.solver import SolverConfig
 
     cfg = SolverConfig()  # full parity schedule
@@ -91,43 +82,16 @@ def main():
     t_base_pair = time.time() - t0
     base_pairs_per_s = 1.0 / t_base_pair
 
-    # ---- ours: bucketed crops, batched ----
-    bucket_h, bucket_w = 384, 640  # both segment types fit with margin
-    ops_list, rgbs = [], []
-    for rgb, mask, cons in problems:
-        cons = add_border_pins(cons, W, H)
-        disp = int(np.abs(cons[:, 2:4] - cons[:, 0:2]).max())
-        y0, x0, h, w = crop_box(mask, cons, extra=disp + 8,
-                                h_mult=bucket_h, w_mult=bucket_w)
-        h, w = bucket_h, bucket_w
-        y0 = min(y0, H - h)
-        x0 = min(x0, W - w)
-        sub_mask = mask[y0 : y0 + h, x0 : x0 + w]
-        shifted = cons.copy()
-        shifted[:, [0, 2]] -= x0
-        shifted[:, [1, 3]] -= y0
-        inside = (
-            (shifted[:, 0] >= 0) & (shifted[:, 0] < w)
-            & (shifted[:, 1] >= 0) & (shifted[:, 1] < h)
-        )
-        ops_list.append(E.build_operands(jnp.asarray(sub_mask), shifted[inside]))
-        rgbs.append(
-            jnp.asarray(
-                rgb[y0 : y0 + h, x0 : x0 + w].transpose(2, 0, 1), jnp.float32
-            )
-        )
-
-    batched = jax.tree.map(lambda *ls: jnp.stack(ls), *ops_list)
-    rgb_b = jnp.stack(rgbs)
-
-    # compile
-    out = solve_and_raster_batch(batched, rgb_b, cfg)
-    np.asarray(out[1][0])
+    # ---- ours: bucket-aligned crops (exact), sequential per segment ----
+    # (the VMEM-resident PCG kernel is VPU-bound; vmap/grid batching only
+    # serialises it with extra overhead — sequential cropped solves win)
+    ours = ArapDeformer(cfg, crop=True, crop_mults=(128, 256))
+    rgb0, mask0, cons0 = problems[0]
+    ours.deform(rgb0, mask0, cons0)  # compile bucket shapes
+    ours.deform(*problems[1])
     t0 = time.time()
-    out = solve_and_raster_batch(batched, rgb_b, cfg)
-    flows = np.asarray(out[1])  # forced D2H
-    wrgb = np.asarray(out[2])
-    wmask = np.asarray(out[3])
+    for rgb, mask, cons in problems:
+        ours.deform(rgb, mask, cons)  # includes full D2H of all products
     t_ours = time.time() - t0
     ours_pairs_per_s = N_PAIRS / t_ours
 
