@@ -50,8 +50,21 @@ def _solve_and_raster_impl(
     return x, flow, wrgb.astype(jnp.uint8), wmask.astype(jnp.uint8)
 
 
+@jax.jit
+def _raster_from_state(x, rgb_f, mask):
+    flow = x[:2] - E.make_grid(*mask.shape)
+    wrgb, wmask = R.rasterize(x[:2], rgb_f, 1.0 - mask)
+    return flow, wrgb.astype(jnp.uint8), wmask.astype(jnp.uint8)
+
+
 def _solve_and_raster(ops, rgb_f, cfg: SolverConfig):
     cfg = cfg.resolve()
+    if S._use_fused(ops, cfg):
+        from ..ops.pallas_solver import anneal_solve_fused
+
+        x = anneal_solve_fused(ops, cfg)
+        flow, wrgb, wmask = _raster_from_state(x, rgb_f, ops.mask)
+        return x, flow, wrgb, wmask
     return _solve_and_raster_impl(ops, rgb_f, cfg.dynamic, cfg.static_key)
 
 

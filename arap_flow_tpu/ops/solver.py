@@ -256,10 +256,34 @@ def _solve_impl(ops, dyn, static_key):
     return x, flow_from_state(x, ops), iters
 
 
+@jax.jit
+def _flow_jit(x, grid):
+    return x[:2] - grid
+
+
+def _use_fused(ops, cfg: SolverConfig) -> bool:
+    """Whole-solve fused kernel (backend='fused', explicit opt-in): measured
+    on-par with the per-GN resident kernel (0.55s vs 0.53s at 256×448), so the
+    default 'pallas' keeps the per-GN path with its faster compiles."""
+    if cfg.backend != "fused":
+        return False
+    if float(cfg.q_tolerance) != 0.0 or float(cfg.rz_tolerance) != 0.0:
+        return False
+    from .pallas_solver import fits_vmem
+
+    H, W = ops.mask.shape[-2:]
+    return fits_vmem(H, W)
+
+
 def solve(ops: ArapOperands, cfg: SolverConfig):
     """Jitted full solve; returns (state (3,H,W), flow (2,H,W)). One compiled
     program per (shape, loop structure); tolerances/budget are traced."""
     cfg = cfg.resolve()
+    if _use_fused(ops, cfg):
+        from .pallas_solver import anneal_solve_fused
+
+        x = anneal_solve_fused(ops, cfg)
+        return x, _flow_jit(x, ops.grid)
     x, flow, _ = _solve_impl(ops, cfg.dynamic, cfg.static_key)
     return x, flow
 
@@ -267,6 +291,14 @@ def solve(ops: ArapOperands, cfg: SolverConfig):
 def solve_stats(ops: ArapOperands, cfg: SolverConfig):
     """Like solve() but also returns total PCG iterations executed."""
     cfg = cfg.resolve()
+    if _use_fused(ops, cfg):
+        from .pallas_solver import anneal_solve_fused
+
+        x = anneal_solve_fused(ops, cfg)
+        n = float(cfg.num_anneal * cfg.gn_iters) * float(
+            min(cfg.max_pcg_iters, int(cfg.pcg_iters))
+        )
+        return x, _flow_jit(x, ops.grid), jnp.float32(n)
     return _solve_impl(ops, cfg.dynamic, cfg.static_key)
 
 
