@@ -68,6 +68,35 @@ def _solve_and_raster(ops, rgb_f, cfg: SolverConfig):
     return _solve_and_raster_impl(ops, rgb_f, cfg.dynamic, cfg.static_key)
 
 
+# fixed crop bucket shapes: a BOUNDED set of compiled program shapes (every
+# novel shape costs an XLA/Mosaic compile — minutes on some setups)
+CROP_BUCKETS: tuple = ((128, 256), (256, 384), (256, 512), (384, 640), (512, 896))
+
+
+def pick_bucket(
+    arap_mask: np.ndarray, disp: int, buckets: tuple = CROP_BUCKETS,
+    margin: int = 8,
+) -> tuple | None:
+    """Choose the smallest fixed bucket covering the object bbox + displacement
+    margin and position it inside the frame. Returns (y0, x0, h, w) or None
+    when no bucket fits (caller solves full-frame)."""
+    H, W = arap_mask.shape
+    ys, xs = np.where(arap_mask == 0)
+    if len(ys) == 0:
+        return None
+    pad = margin + disp
+    need_h = int(ys.max()) - int(ys.min()) + 1 + 2 * pad
+    need_w = int(xs.max()) - int(xs.min()) + 1 + 2 * pad
+    for bh, bw in buckets:
+        if need_h <= bh <= H and need_w <= bw <= W:
+            cy = (int(ys.min()) + int(ys.max())) // 2
+            cx = (int(xs.min()) + int(xs.max())) // 2
+            y0 = min(max(cy - bh // 2, 0), H - bh)
+            x0 = min(max(cx - bw // 2, 0), W - bw)
+            return y0, x0, bh, bw
+    return None
+
+
 def crop_box(
     arap_mask: np.ndarray,
     constraints: np.ndarray,
@@ -121,14 +150,14 @@ class ArapDeformer:
         pin_border: bool = True,
         keep_state: bool = False,
         crop: bool = False,
-        crop_mults: tuple = (64, 128),
+        crop_buckets: tuple = CROP_BUCKETS,
     ):
         self.cfg = cfg
         self.weights = weights
         self.pin_border = pin_border
         self.keep_state = keep_state
         self.crop = crop
-        self.crop_mults = crop_mults
+        self.crop_buckets = crop_buckets
 
     def deform(
         self,
@@ -170,10 +199,12 @@ class ArapDeformer:
                     ).max()
                 )
             )
-        y0, x0, h, w = crop_box(
-            arap_mask, cons, extra=disp,
-            h_mult=self.crop_mults[0], w_mult=self.crop_mults[1],
-        )
+        box = pick_bucket(arap_mask, disp, self.crop_buckets)
+        if box is None:
+            h, w = H, W
+            y0 = x0 = 0
+        else:
+            y0, x0, h, w = box
         sub_mask = np.ascontiguousarray(arap_mask[y0 : y0 + h, x0 : x0 + w])
         sub_rgb = np.ascontiguousarray(rgb[y0 : y0 + h, x0 : x0 + w])
         shifted = cons.copy()

@@ -133,8 +133,7 @@ def _grid(H: int, W: int):
     return gx, gy
 
 
-@partial(jax.jit, static_argnames=("radius", "patch", "levels", "refine_radius"))
-def pyramid_flow(
+def _pyramid_flow_impl(
     g1: jnp.ndarray,
     g2: jnp.ndarray,
     radius: int = 100,
@@ -142,7 +141,7 @@ def pyramid_flow(
     levels: int = 4,
     refine_radius: int = 2,
 ):
-    """Dense coarse-to-fine NCC flow estimate.
+    """Dense coarse-to-fine NCC flow estimate (trace-level implementation).
 
     g1, g2: (H, W) float32 grayscale. Returns (flow (2, H, W), score (H, W)).
     """
@@ -175,6 +174,25 @@ def pyramid_flow(
     return jnp.stack([u, v]), score
 
 
+@partial(jax.jit, static_argnames=("radius", "patch", "levels", "refine_radius"))
+def pyramid_flow(g1, g2, radius: int = 100, patch: int = 8, levels: int = 4,
+                 refine_radius: int = 2):
+    return _pyramid_flow_impl(g1, g2, radius, patch, levels, refine_radius)
+
+
+@partial(jax.jit, static_argnames=("radius", "patch", "levels", "refine_radius"))
+def pyramid_flow_bidir(g1, g2, radius: int = 100, patch: int = 8,
+                       levels: int = 4, refine_radius: int = 2):
+    """Forward and backward flow in ONE compiled program (vmapped pair) —
+    halves matcher compiles and dispatches."""
+    a = jnp.stack([g1, g2])
+    b = jnp.stack([g2, g1])
+    return jax.vmap(
+        lambda x, y: _pyramid_flow_impl(x, y, radius, patch, levels,
+                                        refine_radius)
+    )(a, b)
+
+
 def match_images(
     rgb1: np.ndarray,
     rgb2: np.ndarray,
@@ -200,12 +218,12 @@ def match_images(
     min_dim = min(g1.shape)
     levels = max(0, min(levels, int(np.floor(np.log2(min_dim / (3 * patch))))))
     radius = min(radius, min_dim)
-    fwd, score = pyramid_flow(g1, g2, radius=radius, patch=patch, levels=levels)
-    bwd, _ = pyramid_flow(g2, g1, radius=radius, patch=patch, levels=levels)
-
-    fwd = np.asarray(fwd)
-    bwd = np.asarray(bwd)
-    score = np.asarray(score)
+    flows, scores = pyramid_flow_bidir(
+        g1, g2, radius=radius, patch=patch, levels=levels
+    )
+    flows = np.asarray(flows)
+    fwd, bwd = flows[0], flows[1]
+    score = np.asarray(scores[0])
     H, W = g1.shape
 
     ys, xs = np.mgrid[stride // 2 : H : stride, stride // 2 : W : stride]

@@ -40,6 +40,10 @@ from ..ops.solver import SolverConfig
 
 log = logging.getLogger("arap_flow_tpu.para_gen")
 
+from ..utils.profiling import StageTimer
+
+TIMER = StageTimer()  # populated when ARAP_PROFILE=1
+
 # canonical directory names (para_gen.py:18-26)
 ORGCOLOR = "orgRGB"
 ORGMASK = "orgMasks"
@@ -283,12 +287,13 @@ def prep_pair(
     per-segment mask/constraint splitting. No solver work."""
     _ensure_dirs(p)
 
-    im1p = Image.open(p.rgb1_org).convert("RGB")
-    mk1p = Image.open(p.msk1_org)
-    im2p = Image.open(p.rgb2_org).convert("RGB")
-    mk2p = Image.open(p.msk2_org)
-    pre1, im1p, mk1p = scale_rotate(im1p, mk1p, flags.size)
-    pre2, im2p, mk2p = scale_rotate(im2p, mk2p, flags.size)
+    with TIMER.stage("decode+preprocess"):
+        im1p = Image.open(p.rgb1_org).convert("RGB")
+        mk1p = Image.open(p.msk1_org)
+        im2p = Image.open(p.rgb2_org).convert("RGB")
+        mk2p = Image.open(p.msk2_org)
+        pre1, im1p, mk1p = scale_rotate(im1p, mk1p, flags.size)
+        pre2, im2p, mk2p = scale_rotate(im2p, mk2p, flags.size)
     im1, mk1 = np.array(im1p), np.array(mk1p)
     im2, mk2 = np.array(im2p), np.array(mk2p)
     if mk1.ndim == 3:
@@ -307,16 +312,18 @@ def prep_pair(
     else:
         src1, src2 = im1, im2
 
-    matches = run_matching(flags, p, src1, src2)
+    with TIMER.stage("matching"):
+        matches = run_matching(flags, p, src1, src2)
     kept, seg_ids = filter_matches(matches, mk1, mk2)
     write_constraint_file(p.cstr_tmp, kept)  # cache (para_gen.py:479)
     if len(kept) == 0:
         return None
 
     # background for this pair (applied to inpRGB now, wRGB after the solve)
-    bgim = bgpool.draw(im1.shape)
-    out1 = add_bg(im1, mk1, bgim) if bgim is not None else im1
-    save_image(p.rgb1_gen, out1)
+    with TIMER.stage("background+inputs-io"):
+        bgim = bgpool.draw(im1.shape)
+        out1 = add_bg(im1, mk1, bgim) if bgim is not None else im1
+        save_image(p.rgb1_gen, out1)
 
     segments = []
     if not flags.multseg:
@@ -377,11 +384,13 @@ def process_pair(
     work = prep_pair(flags, p, bgpool)
     if work is None:
         return None
-    seg_results = [
-        deformer.deform(work.out1, arap_mask, cons)
-        for _, arap_mask, cons in work.segments
-    ]
-    return finish_pair(work, seg_results, writer)
+    with TIMER.stage("solve+raster"):
+        seg_results = [
+            deformer.deform(work.out1, arap_mask, cons)
+            for _, arap_mask, cons in work.segments
+        ]
+    with TIMER.stage("compose+outputs-io"):
+        return finish_pair(work, seg_results, writer)
 
 
 def process_chunk_batched(
@@ -448,7 +457,9 @@ def main_pipeline(
 ) -> list[str]:
     rng = np.random.default_rng(flags.seed)
     bgpool = BackgroundPool(flags.bg_dir, rng)
-    deformer = ArapDeformer(solver_cfg or make_solver_config(flags.schedule))
+    deformer = ArapDeformer(
+        solver_cfg or make_solver_config(flags.schedule), crop=True,
+    )
 
     pairs = scan_pairs(flags)
     print(f"{len(pairs)} frame pairs to process")
@@ -490,6 +501,8 @@ def main_pipeline(
         if writer is not None:
             writer.close()
     print(f"done in {(time.time() - begin) / 60:.2f} mins")
+    if os.environ.get("ARAP_PROFILE"):
+        print(TIMER.report())
 
     # final existence sweep (para_gen.py:594-603)
     out_paths = [

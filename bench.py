@@ -85,7 +85,7 @@ def main():
     # ---- ours: bucket-aligned crops (exact), sequential per segment ----
     # (the VMEM-resident PCG kernel is VPU-bound; vmap/grid batching only
     # serialises it with extra overhead — sequential cropped solves win)
-    ours = ArapDeformer(cfg, crop=True, crop_mults=(128, 256))
+    ours = ArapDeformer(cfg, crop=True)
     rgb0, mask0, cons0 = problems[0]
     ours.deform(rgb0, mask0, cons0)  # compile bucket shapes
     ours.deform(*problems[1])
