@@ -95,8 +95,8 @@ def make_grid(H: int, W: int) -> jnp.ndarray:
 
 
 def build_operands(
-    arap_mask: jnp.ndarray,
-    constraints: jnp.ndarray,
+    arap_mask,
+    constraints,
     weights: ArapWeights = ArapWeights(),
 ) -> ArapOperands:
     """Build solve-time operands from an ARAP mask and a constraint list.
@@ -106,36 +106,55 @@ def build_operands(
     constraints: (N, 4) int — rows (x1, y1, x2, y2); should already include border
                  pins (io.constraints.add_border_pins, main.cpp:95-101). Constraints
                  are only activated on solve-region pixels (CombinedSolver.h:234).
+
+    Host-side numpy on purpose: device scatters here would compile a fresh
+    program per distinct constraint count (a per-segment recompile in the
+    pipeline); only the finished planes are shipped to the device.
     """
-    arap_mask = jnp.asarray(arap_mask)
+    import numpy as _np
+
+    arap_mask = _np.asarray(arap_mask)
     H, W = arap_mask.shape
-    m = (arap_mask == 0).astype(jnp.float32)
-    vmasks = jnp.stack([m * shift(m, dy, dx) for dy, dx in DIRS])
+    m = (arap_mask == 0).astype(_np.float32)
+
+    def _shift_np(a, dy, dx):
+        out = _np.zeros_like(a)
+        ys = slice(max(dy, 0), H + min(dy, 0))
+        yd = slice(max(-dy, 0), H + min(-dy, 0))
+        xs = slice(max(dx, 0), W + min(dx, 0))
+        xd = slice(max(-dx, 0), W + min(-dx, 0))
+        out[yd, xd] = a[ys, xs]
+        return out
+
+    vmasks = _np.stack([m * _shift_np(m, dy, dx) for dy, dx in DIRS])
     degree = vmasks.sum(0)
 
-    con_src = jnp.zeros((2, H, W), jnp.float32)
-    con_tgt = jnp.zeros((2, H, W), jnp.float32)
-    fit = jnp.zeros((H, W), jnp.float32)
-    constraints = jnp.asarray(constraints, jnp.int32).reshape(-1, 4)
+    con_src = _np.zeros((2, H, W), _np.float32)
+    con_tgt = _np.zeros((2, H, W), _np.float32)
+    fit = _np.zeros((H, W), _np.float32)
+    constraints = _np.asarray(constraints, _np.int64).reshape(-1, 4)
     if constraints.shape[0]:
         x1, y1, x2, y2 = (constraints[:, k] for k in range(4))
         # Later duplicates win, matching the reference's sequential overwrite
-        # (CombinedSolver.h:230-239).
-        con_src = con_src.at[0, y1, x1].set(x1.astype(jnp.float32))
-        con_src = con_src.at[1, y1, x1].set(y1.astype(jnp.float32))
-        con_tgt = con_tgt.at[0, y1, x1].set(x2.astype(jnp.float32))
-        con_tgt = con_tgt.at[1, y1, x1].set(y2.astype(jnp.float32))
-        fit = fit.at[y1, x1].set(1.0)
+        # (CombinedSolver.h:230-239) — numpy fancy assignment does exactly that.
+        con_src[0, y1, x1] = x1
+        con_src[1, y1, x1] = y1
+        con_tgt[0, y1, x1] = x2
+        con_tgt[1, y1, x1] = y2
+        fit[y1, x1] = 1.0
     fit = fit * m
 
+    gx, gy = _np.meshgrid(
+        _np.arange(W, dtype=_np.float32), _np.arange(H, dtype=_np.float32)
+    )
     return ArapOperands(
-        mask=m,
-        vmasks=vmasks,
-        degree=degree,
-        con_src=con_src,
-        con_tgt=con_tgt,
-        fitmask=fit,
-        grid=make_grid(H, W),
+        mask=jnp.asarray(m),
+        vmasks=jnp.asarray(vmasks),
+        degree=jnp.asarray(degree),
+        con_src=jnp.asarray(con_src),
+        con_tgt=jnp.asarray(con_tgt),
+        fitmask=jnp.asarray(fit),
+        grid=jnp.asarray(_np.stack([gx, gy])),
         wf2=jnp.float32(weights.w_fit),
         wr2=jnp.float32(weights.w_reg),
     )
