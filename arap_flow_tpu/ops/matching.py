@@ -218,12 +218,19 @@ def match_images(
     min_dim = min(g1.shape)
     levels = max(0, min(levels, int(np.floor(np.log2(min_dim / (3 * patch))))))
     radius = min(radius, min_dim)
+    import os as _os
+    import time as _time
+
+    _t0 = _time.time()
     flows, scores = pyramid_flow_bidir(
         g1, g2, radius=radius, patch=patch, levels=levels
     )
     flows = np.asarray(flows)
     fwd, bwd = flows[0], flows[1]
     score = np.asarray(scores[0])
+    if _os.environ.get("ARAP_PROFILE"):
+        print(f"  [match] device+d2h {_time.time() - _t0:.2f}s "
+              f"(levels={levels} radius={radius})", flush=True)
     H, W = g1.shape
 
     ys, xs = np.mgrid[stride // 2 : H : stride, stride // 2 : W : stride]

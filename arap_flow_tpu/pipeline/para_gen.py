@@ -34,7 +34,7 @@ from PIL import Image
 
 from ..io import flo
 from ..io.constraints import filter_matches, write_constraint_file
-from ..io.image import ARAP_BG, load_mask, load_rgb, save_image
+from ..io.image import ARAP_BG, save_image
 from ..models.arap import ArapDeformer
 from ..ops.solver import SolverConfig
 
