@@ -27,6 +27,10 @@ def _enable_compile_cache():
     per process per image size (o.t:867-872); we don't have to."""
     if _os.environ.get("ARAP_NO_COMPILE_CACHE") == "1":
         return
+    # CPU-only runs (tests) must not share a cache with the TPU platform's
+    # compile service: its CPU AOT artifacts carry other machine features.
+    if _os.environ.get("JAX_PLATFORMS", "") == "cpu":
+        return
     try:
         import jax
 
