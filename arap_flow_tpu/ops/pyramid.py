@@ -1,4 +1,12 @@
-"""Coarse-to-fine (multigrid warm-start) ARAP solving.
+"""Coarse-to-fine (multigrid warm-start) ARAP solving — EXPERIMENTAL.
+
+Measured on the cat512 golden fixture (scripts/pyramid_check.py, v5e):
+fine=1 → EPE 0.62 px at 0.83 s vs the flat schedule's 0.064 px at 0.99 s;
+fine=2 → 0.39 px. The annealed trajectory at full resolution matters for
+reference parity, and small coarse problems hit the solver's per-iteration
+overhead floor, so this mode does NOT pay for parity-accuracy targets —
+kept as an opt-in for consumers who can accept ~0.5 px EPE.
+
 
 The reference anneals constraints over 19 full-resolution solves
 (CombinedSolver.h:199-201) purely to keep Gauss-Newton in the right basin for
