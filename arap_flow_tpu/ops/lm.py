@@ -80,7 +80,7 @@ def _pcg_damped(ops, s, c, jtf, d2, lam, cfg: LMConfig):
         p = z + beta * p
         q = 0.5 * _dot(delta, r + b)
         zeta = (i + 1.0) * (q - q_prev) / jnp.where(q == 0.0, 1.0, q)
-        conv = zeta < cfg.q_tolerance
+        conv = jnp.logical_and(cfg.q_tolerance > 0.0, zeta < cfg.q_tolerance)
         return i + 1.0, delta, r, p, rz_new, q, conv
 
     st = (jnp.float32(0.0), jnp.zeros_like(b), r0, z0, rz0, jnp.float32(0.0),

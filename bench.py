@@ -11,9 +11,10 @@ Two execution models on the SAME chip:
 - baseline ("reference-equivalent"): one full-frame solve at a time, outputs
   fetched after each — the reference's execution model (one CUDA solve per
   process, para_gen.py:560-567), minus its per-launch overheads;
-- ours: segments solved on bucket-aligned bounding-box crops (exact — inert
-  excluded pixels, models/arap.py:crop_box) and batched into one compiled
-  program (models/arap.py:solve_and_raster_batch).
+- ours: segments solved sequentially on bucket-aligned bounding-box crops
+  (exact — inert excluded pixels, models/arap.py:pick_bucket) with the
+  VMEM-resident Pallas PCG backend; sequential beats vmap/grid batching for
+  this VPU-bound kernel (measured).
 
 Prints ONE JSON line:
   value       = ours, flow pairs/sec/chip
