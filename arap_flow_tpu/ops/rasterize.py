@@ -106,8 +106,8 @@ def rasterize(
     warp: jnp.ndarray,
     rgb: jnp.ndarray,
     arap_mask: jnp.ndarray,
-    window: int = 7,
-    dilate: int = 2,
+    window: int = 5,
+    dilate: int = 3,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Forward-rasterize the warped grid.
 
@@ -131,14 +131,15 @@ def rasterize(
     gx = jnp.arange(W, dtype=jnp.float32)[None, :] * jnp.ones((H, 1), jnp.float32)
     gy = jnp.arange(H, dtype=jnp.float32)[:, None] * jnp.ones((1, W), jnp.float32)
 
-    wx, wy = warp[0].ravel(), warp[1].ravel()
+    warp_rows = warp.reshape(2, -1).T  # (HW, 2): one gather per corner
     m4f = m4.ravel()
 
     def corner(cy_arr, cx):
         yy = jnp.clip(cy_arr, 0, H - 1)
         xx = jnp.clip(sx0 + cx, 0, W - 1)
         idx = yy * W + xx
-        return wx[idx], wy[idx], idx
+        wxy = jnp.take(warp_rows, idx, axis=0)
+        return wxy[..., 0], wxy[..., 1], idx
 
     neg = jnp.int32(-1)
     init = (
@@ -208,8 +209,8 @@ def rasterize_flow(
     flow: jnp.ndarray,
     rgb: jnp.ndarray,
     arap_mask: jnp.ndarray,
-    window: int = 7,
-    dilate: int = 2,
+    window: int = 5,
+    dilate: int = 3,
 ):
     """Rasterize from a flow field (2, H, W): warp = flow + grid (the warp_image
     entry semantics, main.cpp:159-166)."""
