@@ -113,6 +113,30 @@ def test_pipeline_multseg(tmp_path):
     assert abs(np.median(v[mask == 2]) + DY) < 0.6
 
 
+def test_pipeline_with_backgrounds(tmp_path):
+    """bg_dir exercises the BackgroundPool path: inpRGB gets a random
+    background over annotation-background pixels; warped RGB gets the same
+    background over uncovered pixels (para_gen.py:484-507, 207-212)."""
+    inp = str(tmp_path / "data")
+    out = str(tmp_path / "out")
+    bgd = tmp_path / "bgs"
+    bgd.mkdir()
+    rngb = np.random.default_rng(9)
+    for i in range(2):
+        Image.fromarray(
+            rngb.integers(100, 255, (100, 140, 3)).astype(np.uint8)
+        ).save(bgd / f"bg{i}.jpg")
+    _make_dataset(inp)
+    flags = PipelineFlags(input=inp, output=out, bg_dir=str(bgd), fd=1, seed=0)
+    triples = main_pipeline(flags, solver_cfg=CFG)
+    assert len(triples) == 2
+    # inpRGB background region should not be the dark synthetic background
+    inp_rgb = np.array(Image.open(osp.join(out, "inpRGB", "seq0", "00000.png")))
+    mask = np.array(Image.open(osp.join(inp, "orgMasks", "seq0", "00000.png")))
+    bgpix = inp_rgb[mask == 0]
+    assert bgpix.mean() > 60  # dark synthetic bg is ~<30; random bgs are bright
+
+
 def test_pipeline_fd2(tmp_path):
     inp = str(tmp_path / "data")
     out = str(tmp_path / "out")
