@@ -212,6 +212,122 @@ def fits_vmem(H: int, W: int) -> bool:
     return _PLANES * H * W * 4 <= _VMEM_BUDGET
 
 
+def _pcg_kernel_batched(
+    b_ref,      # (B, 3, H, W)
+    pre_ref,    # (B, 3, H, W)
+    s_ref,      # (B, H, W)
+    c_ref,      # (B, H, W)
+    vm_ref,     # (B, 4, H, W)
+    fit_ref,    # (B, H, W)
+    w_ref,      # (1, 2) SMEM
+    n_ref,      # (1, 1) SMEM
+    delta_ref,  # (B, 3, H, W)
+    r_ref, p_ref, ap_ref,       # scratch (B, 3, H, W)
+    sj_ref, cj_ref,             # scratch (B, 4, H, W)
+):
+    """Multi-problem resident PCG: the α/β dependency chain is latency-bound
+    for small problems (~9µs/iteration regardless of size), so B independent
+    per-problem chains are interleaved in ONE kernel iteration (a static
+    Python loop over problems; all tensor ops stay 2D — Mosaic's layout pass
+    rejects rolls on >3D refs)."""
+    wf2 = w_ref[0, 0]
+    wr2 = w_ref[0, 1]
+    B = s_ref.shape[0]
+
+    for bi in range(B):
+        for k, (dy, dx) in enumerate(DIRS):
+            sj_ref[bi, k] = _roll2(s_ref[bi], dy, dx)
+            cj_ref[bi, k] = _roll2(c_ref[bi], dy, dx)
+        r0 = b_ref[bi]
+        z0 = pre_ref[bi] * r0
+        r_ref[bi] = r0
+        p_ref[bi] = z0
+        delta_ref[bi] = jnp.zeros_like(r0)
+
+    def rz_of(bi):
+        r = r_ref[bi]
+        return jnp.sum(pre_ref[bi] * r * r).reshape(1)
+
+    rz0 = jnp.concatenate([rz_of(bi) for bi in range(B)])
+
+    def body(_, rz):
+        rz_new_parts = []
+        for bi in range(B):
+            s = s_ref[bi]
+            c = c_ref[bi]
+            fit = fit_ref[bi]
+            p = p_ref[bi]
+            px, py, pa = p[0], p[1], p[2]
+            ax = wf2 * fit * px
+            ay = wf2 * fit * py
+            accx = jnp.zeros_like(px)
+            accy = jnp.zeros_like(px)
+            aa = jnp.zeros_like(pa)
+            for k, (dy, dx) in enumerate(DIRS):
+                v = vm_ref[bi, k]
+                sj = sj_ref[bi, k]
+                cj = cj_ref[bi, k]
+                tx = (-dx) * s - dy * c
+                ty = dx * c - dy * s
+                txj = (-dx) * sj - dy * cj
+                tyj = dx * cj - dy * sj
+                dox = px - _roll2(px, dy, dx)
+                doy = py - _roll2(py, dy, dx)
+                paj = _roll2(pa, dy, dx)
+                accx = accx + v * (2.0 * dox + pa * tx + paj * txj)
+                accy = accy + v * (2.0 * doy + pa * ty + paj * tyj)
+                aa = aa + v * (tx * dox + ty * doy + pa)
+            ap = jnp.stack([ax + wr2 * accx, ay + wr2 * accy, wr2 * aa])
+            ap_ref[bi] = ap
+            pap = jnp.sum(p * ap)
+            rz_b = rz[bi]
+            alpha = jnp.where(pap > 0.0, rz_b / pap, 0.0)
+            delta_ref[bi] = delta_ref[bi] + alpha * p
+            r = r_ref[bi] - alpha * ap
+            r_ref[bi] = r
+            z = pre_ref[bi] * r
+            rz_new_b = jnp.sum(z * r)
+            beta = jnp.where(rz_b > 0.0, rz_new_b / rz_b, 0.0)
+            p_ref[bi] = z + beta * p
+            rz_new_parts.append(rz_new_b.reshape(1))
+        return jnp.concatenate(rz_new_parts)
+
+    jax.lax.fori_loop(0, n_ref[0, 0], body, rz0, unroll=False)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def pcg_pallas_batched(b, pre, s, c, vmasks, fitmask, wf2, wr2, iters,
+                       interpret: bool = False):
+    """Batched VMEM-resident PCG over (B, ...) problems; returns δ (B,3,H,W)."""
+    B, H, W = s.shape
+    w = jnp.stack(
+        [jnp.asarray(wf2).reshape(-1)[0], jnp.asarray(wr2).reshape(-1)[0]]
+    ).reshape(1, 2).astype(jnp.float32)
+    n = jnp.full((1, 1), iters, jnp.int32)
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        _pcg_kernel_batched,
+        out_shape=jax.ShapeDtypeStruct((B, 3, H, W), jnp.float32),
+        in_specs=[
+            vspec, vspec, vspec, vspec, vspec, vspec,
+            pl.BlockSpec((1, 2), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+        ],
+        out_specs=vspec,
+        scratch_shapes=[
+            pltpu.VMEM((B, 3, H, W), jnp.float32),
+            pltpu.VMEM((B, 3, H, W), jnp.float32),
+            pltpu.VMEM((B, 3, H, W), jnp.float32),
+            pltpu.VMEM((B, 4, H, W), jnp.float32),
+            pltpu.VMEM((B, 4, H, W), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(b, pre, s, c, vmasks, fitmask, w, n)
+
+
 def pcg_solve_pallas(ops, s, c, jtf, diag, iters, interpret: bool = False):
     """Drop-in replacement for ops.solver.pcg_solve (fixed iteration count):
     returns (δ, iters). Falls back to the XLA path when the problem exceeds

@@ -313,11 +313,62 @@ def _solve_batch_impl(ops, dyn, static_key):
     return jax.vmap(one)(ops)
 
 
+@partial(jax.jit, static_argnames=("static_key",))
+def _solve_batch_kernel_impl(ops, dyn, static_key):
+    """Batched solve driving the multi-problem resident PCG kernel: one
+    iteration dependency chain shared by the whole bucket batch (the chain is
+    latency-bound for small problems)."""
+    from .pallas_pcg import pcg_pallas_batched
+
+    cfg = _rebuild_config(dyn, static_key)
+    budget = jnp.minimum(
+        jnp.float32(cfg.max_pcg_iters), jnp.float32(cfg.pcg_iters)
+    ).astype(jnp.int32)
+    x0 = jax.vmap(init_state)(ops)
+
+    def gn(x, cimg):
+        s, c = jnp.sin(x[:, 2]), jnp.cos(x[:, 2])
+        jtf, diag = jax.vmap(jtf_and_diag)(x, ops, cimg)
+        pre = guarded_invert(diag)
+        delta = pcg_pallas_batched(
+            -jtf, pre, s, c, ops.vmasks, ops.fitmask,
+            ops.wf2[0], ops.wr2[0], budget,
+        )
+        return x + delta
+
+    def outer(i, x):
+        alpha = (i + 1.0) / cfg.num_anneal
+        cimg = (1.0 - alpha) * ops.con_src + alpha * ops.con_tgt
+        return lax.fori_loop(0, cfg.gn_iters, lambda _, xx: gn(xx, cimg), x)
+
+    x = lax.fori_loop(0, cfg.num_anneal, outer, x0)
+    flows = x[:, :2] - ops.grid
+    n = jnp.float32(cfg.num_anneal * cfg.gn_iters) * budget.astype(jnp.float32)
+    return x, flows, n
+
+
+# VMEM planes for the batched kernel (inputs+outputs+scratch+temps), per problem
+_BATCH_KERNEL_PLANES = 40
+
+
+def _batch_kernel_fits(ops_batched) -> bool:
+    B, H, W = ops_batched.mask.shape
+    return _BATCH_KERNEL_PLANES * B * H * W * 4 <= 60 * 1024 * 1024
+
+
 def solve_batch(ops: ArapOperands, cfg: SolverConfig):
     """Batched solve over the leading axis of every operand leaf; returns
     (states (B,3,H,W), flows (B,2,H,W)). Replaces the reference's one-CUDA-
     process-per-problem task farm (para_gen.py:560-567) with on-chip batching."""
     cfg = cfg.resolve()
+    if (
+        cfg.backend == "pallas"
+        and float(cfg.q_tolerance) == 0.0
+        and float(cfg.rz_tolerance) == 0.0
+        and _batch_kernel_fits(ops)
+    ):
+        xs, flows, _ = _solve_batch_kernel_impl(ops, cfg.dynamic, cfg.static_key)
+        return xs, flows
     xs, flows, _ = _solve_batch_impl(ops, cfg.dynamic, cfg.static_key)
     return xs, flows
 

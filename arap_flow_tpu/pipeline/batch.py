@@ -114,7 +114,27 @@ def run_tasks(
     for t in tasks:
         groups.setdefault(t.bucket, []).append(t)
 
+    from ..ops.solver import _batch_kernel_fits
+
+    def max_chunk(bucket):
+        bh, bw = bucket
+        b = 1
+        while True:
+            class _P:  # shape probe for the VMEM-budget check
+                mask = np.zeros((b + 1, bh, bw))
+            if not _batch_kernel_fits(_P):
+                return max(b, 1)
+            b += 1
+            if b >= 16:
+                return 16
+
+    chunked = []
     for bucket, group in groups.items():
+        step = max_chunk(bucket)
+        for i in range(0, len(group), step):
+            chunked.append((bucket, group[i : i + step]))
+
+    for bucket, group in chunked:
         batched_ops = jax.tree.map(lambda *ls: jnp.stack(ls), *[t.ops for t in group])
         rgb_b = jnp.stack([t.rgb for t in group])
         xs, flows, wrgbs, wmasks = solve_and_raster_batch(batched_ops, rgb_b, cfg)
