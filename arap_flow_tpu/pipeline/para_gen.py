@@ -266,10 +266,7 @@ def _png_bytes(arr: np.ndarray) -> bytes:
     return buf.getvalue()
 
 
-from dataclasses import dataclass as _dataclass
-
-
-@_dataclass
+@dataclass
 class PairWork:
     """Host-side products of one pair's prep stage, awaiting solves."""
 
