@@ -193,6 +193,21 @@ def pyramid_flow_bidir(g1, g2, radius: int = 100, patch: int = 8,
     )(a, b)
 
 
+@partial(jax.jit, static_argnames=("radius", "patch", "levels", "refine_radius"))
+def match_fields(rgb1, rgb2, radius: int = 100, patch: int = 8,
+                 levels: int = 4, refine_radius: int = 2):
+    """Gray conversion + bidirectional pyramid flow in one program.
+
+    Takes (3, H, W) float32 RGB directly off the host: jitted inputs must be
+    fresh host uploads — arrays produced by other device computations carry
+    non-default layouts, which re-fingerprint the executable and defeat the
+    persistent compilation cache (measured: identical program recompiled
+    200 s when fed eager-op outputs)."""
+    g1, g2 = to_gray(rgb1), to_gray(rgb2)
+    return pyramid_flow_bidir(g1, g2, radius=radius, patch=patch,
+                              levels=levels, refine_radius=refine_radius)
+
+
 def match_images(
     rgb1: np.ndarray,
     rgb2: np.ndarray,
@@ -213,25 +228,24 @@ def match_images(
     """
     j1 = jnp.asarray(np.ascontiguousarray(rgb1.transpose(2, 0, 1)), jnp.float32)
     j2 = jnp.asarray(np.ascontiguousarray(rgb2.transpose(2, 0, 1)), jnp.float32)
-    g1, g2 = to_gray(j1), to_gray(j2)
     # keep the coarsest level at least ~3 patches across
-    min_dim = min(g1.shape)
+    H_, W_ = rgb1.shape[:2]
+    min_dim = min(H_, W_)
     levels = max(0, min(levels, int(np.floor(np.log2(min_dim / (3 * patch))))))
     radius = min(radius, min_dim)
     import os as _os
     import time as _time
 
     _t0 = _time.time()
-    flows, scores = pyramid_flow_bidir(
-        g1, g2, radius=radius, patch=patch, levels=levels
-    )
+    flows, scores = match_fields(j1, j2, radius=radius, patch=patch,
+                                 levels=levels)
     flows = np.asarray(flows)
     fwd, bwd = flows[0], flows[1]
     score = np.asarray(scores[0])
     if _os.environ.get("ARAP_PROFILE"):
         print(f"  [match] device+d2h {_time.time() - _t0:.2f}s "
               f"(levels={levels} radius={radius})", flush=True)
-    H, W = g1.shape
+    H, W = H_, W_
 
     ys, xs = np.mgrid[stride // 2 : H : stride, stride // 2 : W : stride]
     ys, xs = ys.ravel(), xs.ravel()
