@@ -64,7 +64,7 @@ def main():
     shutil.rmtree(root, ignore_errors=True)
     make_dataset(osp.join(root, "data"), n_pairs + 1)
 
-    for mode in ("batched",):
+    for mode in ("batched", "simple"):
         out = osp.join(root, f"out_{mode}")
         flags = PipelineFlags(
             input=osp.join(root, "data"), output=out, fd=1, multseg=True,
