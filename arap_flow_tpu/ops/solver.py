@@ -359,7 +359,10 @@ def _batch_kernel_fits(ops_batched) -> bool:
 def solve_batch(ops: ArapOperands, cfg: SolverConfig):
     """Batched solve over the leading axis of every operand leaf; returns
     (states (B,3,H,W), flows (B,2,H,W)). Replaces the reference's one-CUDA-
-    process-per-problem task farm (para_gen.py:560-567) with on-chip batching."""
+    process-per-problem task farm (para_gen.py:560-567) with on-chip batching.
+
+    NOTE: the multi-problem kernel path assumes all batch entries share the
+    same energy weights (bucket batches built by pipeline/batch.py do)."""
     cfg = cfg.resolve()
     if (
         cfg.backend == "pallas"

@@ -114,19 +114,13 @@ def run_tasks(
     for t in tasks:
         groups.setdefault(t.bucket, []).append(t)
 
-    from ..ops.solver import _batch_kernel_fits
+    from ..ops.solver import _BATCH_KERNEL_PLANES
 
     def max_chunk(bucket):
+        """Largest batch of this bucket shape fitting the kernel VMEM budget."""
         bh, bw = bucket
-        b = 1
-        while True:
-            class _P:  # shape probe for the VMEM-budget check
-                mask = np.zeros((b + 1, bh, bw))
-            if not _batch_kernel_fits(_P):
-                return max(b, 1)
-            b += 1
-            if b >= 16:
-                return 16
+        per_problem = _BATCH_KERNEL_PLANES * bh * bw * 4
+        return max(1, min(16, (60 * 1024 * 1024) // per_problem))
 
     chunked = []
     for bucket, group in groups.items():

@@ -78,10 +78,10 @@ def main():
     rgb0, mask0, cons0 = problems[0]
     deformer.deform(rgb0, mask0, cons0)  # compile
     t0 = time.time()
-    for rgb, mask, cons in problems[: 2]:  # 1 pair = 2 segments
+    for rgb, mask, cons in problems:  # all pairs, sequentially
         deformer.deform(rgb, mask, cons)
-    t_base_pair = time.time() - t0
-    base_pairs_per_s = 1.0 / t_base_pair
+    t_base = time.time() - t0
+    base_pairs_per_s = N_PAIRS / t_base
 
     # ---- ours: bucket-aligned crops (exact), multi-problem resident kernel ----
     # segments bucketed across pairs and solved in interleaved batches (the
