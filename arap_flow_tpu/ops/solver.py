@@ -64,6 +64,11 @@ class SolverConfig(NamedTuple):
     pcg_iters: float = 400.0
     q_tolerance: float = 0.0
     rz_tolerance: float = 0.0
+    # non-uniform schedule: anneal steps < anneal_split use pcg_iters_early
+    # (0 = uniform). Early anneal steps only steer the basin; full depth is
+    # needed only near α = 1.
+    pcg_iters_early: float = 0.0
+    anneal_split: float = 0.0
     # "auto": VMEM-resident Pallas PCG on TPU when the problem fits, XLA
     # otherwise (CPU, oversized problems, or when early-exit tolerances are
     # requested — the resident kernel runs a fixed budget).
@@ -95,6 +100,8 @@ class SolverConfig(NamedTuple):
             float(self.pcg_iters),
             float(self.q_tolerance),
             float(self.rz_tolerance),
+            float(self.pcg_iters_early),
+            float(self.anneal_split),
         )
 
 
@@ -106,6 +113,8 @@ def _rebuild_config(dyn, static_key) -> "SolverConfig":
         pcg_iters=dyn[0],
         q_tolerance=dyn[1],
         rz_tolerance=dyn[2],
+        pcg_iters_early=dyn[3],
+        anneal_split=dyn[4],
         backend=static_key[3],
     )
 
@@ -221,7 +230,9 @@ def anneal_solve_stats(ops: ArapOperands, cfg: SolverConfig):
 
     Returns (x (3,H,W), total PCG iterations)."""
     x0 = init_state(ops)
-    pcg_iters = jnp.float32(cfg.pcg_iters)
+    pcg_late = jnp.float32(cfg.pcg_iters)
+    pcg_early = jnp.float32(cfg.pcg_iters_early)
+    split = jnp.float32(cfg.anneal_split)
     q_tol = jnp.float32(cfg.q_tolerance)
     rz_tol = jnp.float32(cfg.rz_tolerance)
 
@@ -229,6 +240,10 @@ def anneal_solve_stats(ops: ArapOperands, cfg: SolverConfig):
         x, tot = carry
         alpha = (i + 1.0) / cfg.num_anneal
         cimg = anneal_constraints(ops, alpha)
+        pcg_iters = jnp.where(
+            jnp.logical_and(pcg_early > 0.0, i.astype(jnp.float32) < split),
+            pcg_early, pcg_late,
+        )
 
         def inner(_, carry2):
             x2, tot2 = carry2
