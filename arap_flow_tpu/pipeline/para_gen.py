@@ -429,7 +429,25 @@ def process_chunk_batched(
                      add_border_pins(cons, W, H))
                 )
 
-    results = run_tasks(tasks, fallbacks, cfg)
+    try:
+        results = run_tasks(tasks, fallbacks, cfg)
+    except Exception as e:
+        # failure isolation: a poisoned segment fails its chunk — retry the
+        # chunk pair-by-pair through the simple path (the reference's worker
+        # processes isolate at pair granularity, para_gen.py:194-195)
+        log.warning("batched chunk failed (%s); retrying per pair", e)
+        deformer = ArapDeformer(cfg, weights=weights, crop=True)
+        triples = []
+        for w in works:
+            try:
+                seg_results = [
+                    deformer.deform(w.out1, m, cns) for _, m, cns in w.segments
+                ]
+                triples.append(" ".join(finish_pair(w, seg_results, writer)))
+            except Exception as e2:
+                log.warning("pair failed: %s (%s)", w.p.rgb1_org, e2)
+        return triples
+
     triples = []
     for idx, w in enumerate(works):
         seg_results = [
