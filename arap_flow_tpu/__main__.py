@@ -15,6 +15,7 @@ COMMANDS = {
     "deform": ("arap_flow_tpu.pipeline.deform_tool", "main"),
     "warp": ("arap_flow_tpu.pipeline.warp_tool", "main"),
     "texture_gen": ("arap_flow_tpu.pipeline.texture_gen", "main"),
+    "dmo_gen": ("arap_flow_tpu.pipeline.dmo_gen", "main"),
 }
 
 
