@@ -150,12 +150,24 @@ def rasterize(
     )
 
     # scan over window rows (graph size ∝ window, not window²: an unrolled
-    # candidate loop makes the XLA compile explode at production sizes)
+    # candidate loop makes the XLA compile explode at production sizes).
+    # adjacent candidate rows share a corner row: carry it through the scan
+    # (halves the dominant cost — the corner gathers)
+    def gather_row(cy_arr):
+        parts = [corner(cy_arr, cx) for cx in range(window + 1)]
+        return (
+            jnp.stack([p[0] for p in parts]),
+            jnp.stack([p[1] for p in parts]),
+            jnp.stack([p[2] for p in parts]),
+        )
+
     def row_body(carry, oy):
-        best_prio, best_w, best_c, covered = carry
+        best_prio, best_w, best_c, covered, prev = carry
         cy0 = sy0 + oy
-        row0 = [corner(cy0, cx) for cx in range(window + 1)]
-        row1 = [corner(cy0 + 1, cx) for cx in range(window + 1)]
+        r0x, r0y, r0i = prev
+        r1x, r1y, r1i = gather_row(cy0 + 1)
+        row0 = [(r0x[cx], r0y[cx], r0i[cx]) for cx in range(window + 1)]
+        row1 = [(r1x[cx], r1y[cx], r1i[cx]) for cx in range(window + 1)]
         for ox in range(window):
             c00, c01 = row0[ox], row0[ox + 1]
             c10, c11 = row1[ox], row1[ox + 1]
@@ -185,10 +197,11 @@ def rasterize(
                     take, jnp.stack([A[2], B[2], Cc[2]]), best_c
                 )
                 covered = covered | ok
-        return (best_prio, best_w, best_c, covered), None
+        return (best_prio, best_w, best_c, covered, (r1x, r1y, r1i)), None
 
-    (best_prio, best_w, best_c, covered), _ = jax.lax.scan(
-        row_body, init, jnp.arange(window)
+    first_row = gather_row(sy0)
+    (best_prio, best_w, best_c, covered, _prev), _ = jax.lax.scan(
+        row_body, (*init, first_row), jnp.arange(window)
     )
     best_w = [best_w[0], best_w[1], best_w[2]]
     best_c = [best_c[0], best_c[1], best_c[2]]
