@@ -60,3 +60,16 @@ def test_solver_determinism():
         _, flow = S.solve(ops, cfg)
         flows.append(np.asarray(flow))
     np.testing.assert_array_equal(flows[0], flows[1])
+
+
+def test_imagedump_roundtrip(tmp_path):
+    from arap_flow_tpu.io.imagedump import imagedump_read, imagedump_write
+
+    rng = np.random.default_rng(5)
+    img = rng.standard_normal((7, 9, 2)).astype(np.float32)
+    p = tmp_path / "x.imagedump"
+    imagedump_write(p, img)
+    np.testing.assert_array_equal(imagedump_read(p), img)
+    # header layout: w, h, c, dtype=0
+    hdr = np.fromfile(p, np.int32, 4)
+    np.testing.assert_array_equal(hdr, [9, 7, 2, 0])
