@@ -208,6 +208,90 @@ def match_fields(rgb1, rgb2, radius: int = 100, patch: int = 8,
                               levels=levels, refine_radius=refine_radius)
 
 
+def match_images_batched(
+    pairs: list,
+    radius: int = 100,
+    stride: int = 4,
+    patch: int = 8,
+    levels: int = 4,
+    fb_threshold: float = 1.5,
+    score_threshold: float = 0.3,
+    chunk: int = 4,
+) -> list:
+    """Batched matching over many (rgb1, rgb2) pairs of identical shape.
+
+    Pairs are chunked to a fixed batch size (padded by repeating the last
+    pair) so at most two programs compile; within a chunk all pyramids run in
+    one vmapped program. Returns a list of (N_i, 5) match arrays, same
+    contract as match_images."""
+    if not pairs:
+        return []
+    H_, W_ = pairs[0][0].shape[:2]
+    min_dim = min(H_, W_)
+    levels = max(0, min(levels, int(np.floor(np.log2(min_dim / (3 * patch))))))
+    radius = min(radius, min_dim)
+
+    @partial(jax.jit, static_argnames=("radius", "patch", "levels"))
+    def run_chunk(rgb1s, rgb2s, radius, patch, levels):
+        def one(r1, r2):
+            g1, g2 = to_gray(r1), to_gray(r2)
+            return pyramid_flow_bidir(g1, g2, radius=radius, patch=patch,
+                                      levels=levels)
+
+        return jax.vmap(one)(rgb1s, rgb2s)
+
+    out = []
+    for c0 in range(0, len(pairs), chunk):
+        batch = pairs[c0 : c0 + chunk]
+        n_real = len(batch)
+        while len(batch) < chunk and c0 + chunk <= len(pairs) + chunk - 1:
+            batch = batch + [batch[-1]]
+        r1 = jnp.stack([
+            jnp.asarray(np.ascontiguousarray(b[0].transpose(2, 0, 1)),
+                        jnp.float32) for b in batch
+        ])
+        r2 = jnp.stack([
+            jnp.asarray(np.ascontiguousarray(b[1].transpose(2, 0, 1)),
+                        jnp.float32) for b in batch
+        ])
+        flows_b, scores_b = run_chunk(r1, r2, radius, patch, levels)
+        flows_b = np.asarray(flows_b)
+        scores_b = np.asarray(scores_b)
+        for i in range(n_real):
+            out.append(
+                _select_matches(
+                    flows_b[i, 0], flows_b[i, 1], scores_b[i, 0], H_, W_,
+                    stride, fb_threshold, score_threshold, radius,
+                )
+            )
+    return out
+
+
+def _select_matches(fwd, bwd, score, H, W, stride, fb_threshold,
+                    score_threshold, radius):
+    """Grid sampling + forward-backward + score selection (shared host post)."""
+    ys, xs = np.mgrid[stride // 2 : H : stride, stride // 2 : W : stride]
+    ys, xs = ys.ravel(), xs.ravel()
+    u = fwd[0, ys, xs]
+    v = fwd[1, ys, xs]
+    x2 = xs + u
+    y2 = ys + v
+    xt = np.clip(np.round(x2).astype(int), 0, W - 1)
+    yt = np.clip(np.round(y2).astype(int), 0, H - 1)
+    fb_err = np.hypot(u + bwd[0, yt, xt], v + bwd[1, yt, xt])
+    sc = score[ys, xs]
+    keep = (
+        (fb_err < fb_threshold)
+        & (sc >= score_threshold)
+        & (x2 >= 0) & (x2 < W) & (y2 >= 0) & (y2 < H)
+        & (np.hypot(u, v) <= radius)
+    )
+    return np.stack(
+        [xs[keep], ys[keep], np.round(x2[keep]), np.round(y2[keep]), sc[keep]],
+        axis=1,
+    ).astype(np.float32)
+
+
 def match_images(
     rgb1: np.ndarray,
     rgb2: np.ndarray,
@@ -245,36 +329,8 @@ def match_images(
     if _os.environ.get("ARAP_PROFILE"):
         print(f"  [match] device+d2h {_time.time() - _t0:.2f}s "
               f"(levels={levels} radius={radius})", flush=True)
-    H, W = H_, W_
-
-    ys, xs = np.mgrid[stride // 2 : H : stride, stride // 2 : W : stride]
-    ys, xs = ys.ravel(), xs.ravel()
-    u = fwd[0, ys, xs]
-    v = fwd[1, ys, xs]
-    x2 = xs + u
-    y2 = ys + v
-    # forward-backward: bwd flow at the (rounded, in-bounds) target
-    xt = np.clip(np.round(x2).astype(int), 0, W - 1)
-    yt = np.clip(np.round(y2).astype(int), 0, H - 1)
-    bx = bwd[0, yt, xt]
-    by = bwd[1, yt, xt]
-    fb_err = np.hypot(u + bx, v + by)
-
-    sc = score[ys, xs]
-    keep = (
-        (fb_err < fb_threshold)
-        & (sc >= score_threshold)
-        & (x2 >= 0)
-        & (x2 < W)
-        & (y2 >= 0)
-        & (y2 < H)
-        & (np.hypot(u, v) <= radius)
-    )
-    out = np.stack(
-        [xs[keep], ys[keep], np.round(x2[keep]), np.round(y2[keep]), sc[keep]],
-        axis=1,
-    ).astype(np.float32)
-    return out
+    return _select_matches(fwd, bwd, score, H_, W_, stride, fb_threshold,
+                           score_threshold, radius)
 
 
 def write_matches(path, matches: np.ndarray) -> None:

@@ -277,13 +277,9 @@ class PairWork:
     segments: list  # [(seg_id, arap_mask (H,W) u8, constraints (N,4))]
 
 
-def prep_pair(
-    flags: PipelineFlags, p: PairPaths, bgpool: BackgroundPool
-) -> PairWork | None:
-    """Host + matcher stage: preprocessing, matching, filtering, backgrounds,
-    per-segment mask/constraint splitting. No solver work."""
-    _ensure_dirs(p)
-
+def decode_pair(flags: PipelineFlags, p: PairPaths):
+    """Decode + preprocess one pair; returns (im1, mk1, im2, mk2, src1, src2)
+    or None when the masks are empty (has_mask, para_gen.py:243-251)."""
     with TIMER.stage("decode+preprocess"):
         im1p = Image.open(p.rgb1_org).convert("RGB")
         mk1p = Image.open(p.msk1_org)
@@ -308,9 +304,26 @@ def prep_pair(
         src1, src2 = np.array(im1p), np.array(im2p)
     else:
         src1, src2 = im1, im2
+    return im1, mk1, im2, mk2, src1, src2
 
-    with TIMER.stage("matching"):
-        matches = run_matching(flags, p, src1, src2)
+
+def prep_pair(
+    flags: PipelineFlags, p: PairPaths, bgpool: BackgroundPool,
+    prematched: np.ndarray | None = None,
+) -> PairWork | None:
+    """Host + matcher stage: preprocessing, matching, filtering, backgrounds,
+    per-segment mask/constraint splitting. No solver work."""
+    _ensure_dirs(p)
+    decoded = decode_pair(flags, p)
+    if decoded is None:
+        return None
+    im1, mk1, im2, mk2, src1, src2 = decoded
+
+    if prematched is not None:
+        matches = prematched
+    else:
+        with TIMER.stage("matching"):
+            matches = run_matching(flags, p, src1, src2)
     kept, seg_ids = filter_matches(matches, mk1, mk2)
     write_constraint_file(p.cstr_tmp, kept)  # cache (para_gen.py:479)
     if len(kept) == 0:
@@ -402,11 +415,33 @@ def process_chunk_batched(
     run each bucket as one batched program, then compose/write per pair."""
     from .batch import make_task, run_tasks
 
+    # batched matching: one vmapped matcher program over the chunk's pairs
+    prematched: dict = {}
+    if flags.matcher == "native":
+        from ..ops.matching import match_images_batched
+
+        decoded_pairs = []
+        for p in pairs:
+            try:
+                _ensure_dirs(p)
+                d = decode_pair(flags, p)
+            except Exception as e:
+                log.warning("pair decode failed: %s (%s)", p.rgb1_org, e)
+                d = None
+            if d is not None:
+                decoded_pairs.append((p, d[4], d[5]))
+        with TIMER.stage("matching"):
+            match_lists = match_images_batched(
+                [(s1, s2) for _, s1, s2 in decoded_pairs], radius=100
+            )
+        for (p, _, _), m in zip(decoded_pairs, match_lists):
+            prematched[id(p)] = m[:, :4].astype(np.int32)
+
     works: list[PairWork] = []
     tasks, fallbacks = [], []
     for p in pairs:
         try:
-            w = prep_pair(flags, p, bgpool)
+            w = prep_pair(flags, p, bgpool, prematched.get(id(p)))
         except AssertionError:
             raise
         except Exception as e:
