@@ -120,7 +120,9 @@ def run_tasks(
         """Largest batch of this bucket shape fitting the kernel VMEM budget."""
         bh, bw = bucket
         per_problem = _BATCH_KERNEL_PLANES * bh * bw * 4
-        return max(1, min(16, (60 * 1024 * 1024) // per_problem))
+        # cap at 8: the interleaved kernel unrolls per problem
+        # (graph size and compile time scale with B; 8 is TPU-tested)
+        return max(1, min(8, (60 * 1024 * 1024) // per_problem))
 
     chunked = []
     for bucket, group in groups.items():

@@ -26,6 +26,7 @@ from __future__ import annotations
 import argparse
 import os
 import os.path as osp
+import zlib
 
 import numpy as np
 
@@ -99,7 +100,7 @@ def assemble(masks_root: str, output: str, seed: int) -> str:
         rel = osp.relpath(dirpath, src)
         texture_sequence(
             pngs, osp.join(troot, ORGCOLOR, rel),
-            seed + abs(hash(rel)) % 100000,
+            seed + zlib.crc32(rel.encode()) % 100000,
         )
         mdir = osp.join(troot, ORGMASK, rel)
         os.makedirs(mdir, exist_ok=True)
