@@ -499,7 +499,9 @@ def process_chunk_batched(
 def make_solver_config(schedule: str) -> SolverConfig:
     if schedule == "parity":
         return SolverConfig()
-    return SolverConfig(rz_tolerance=1e-3)
+    # fast: full depth only near alpha=1 (measured: EPE 0.21px at 1.5x speed,
+    # docs/PARITY.md) — keeps the Pallas backend (no data-dependent exits)
+    return SolverConfig(pcg_iters_early=150.0, anneal_split=12.0)
 
 
 def main_pipeline(

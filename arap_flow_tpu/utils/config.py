@@ -40,7 +40,9 @@ class FrameworkConfig:
         cfg = cls(**overrides)
         sched = os.environ.get("ARAP_SCHEDULE")
         if sched == "fast":
-            cfg.solver = cfg.solver._replace(rz_tolerance=1e-3)
+            cfg.solver = cfg.solver._replace(
+                pcg_iters_early=150.0, anneal_split=12.0
+            )
         backend = os.environ.get("ARAP_BACKEND")
         if backend in ("xla", "pallas"):
             cfg.solver = cfg.solver._replace(backend=backend)

@@ -12,7 +12,7 @@ def test_config_env_overrides(monkeypatch):
     monkeypatch.setenv("ARAP_RASTER", "host")
     monkeypatch.setenv("ARAP_W_FIT", "50")
     cfg = FrameworkConfig.from_env()
-    assert cfg.solver.rz_tolerance == 1e-3
+    assert cfg.solver.pcg_iters_early == 150.0
     assert cfg.solver.backend == "xla"
     assert cfg.raster == "host"
     assert cfg.weights.w_fit == 50.0
