@@ -82,3 +82,24 @@ def test_run_warp_scan(tmp_path):
     jobs = scan_jobs(str(root), [1, 2, 3])
     assert len(jobs) == 1
     assert "fd2" in jobs[0][2]
+
+
+def test_build_sintel_list(tmp_path):
+    """run_arap --input: Sintel-style tree scan builds 6-tuple jobs."""
+    from arap_flow_tpu.pipeline.run_arap import build_sintel_list
+
+    root = tmp_path
+    (root / "clean" / "alley_1").mkdir(parents=True)
+    (root / "masks" / "clean" / "alley_1").mkdir(parents=True)
+    (root / "cnstr" / "clean" / "alley_1").mkdir(parents=True)
+    save_image(root / "clean" / "alley_1" / "frame_0001.png",
+               np.zeros((8, 8, 3), np.uint8))
+    save_image(root / "masks" / "clean" / "alley_1" / "frame_0001.png",
+               np.zeros((8, 8), np.uint8))
+    (root / "cnstr" / "clean" / "alley_1" / "frame_0001.txt").write_text("0")
+    # a frame without constraints must be skipped
+    save_image(root / "clean" / "alley_1" / "frame_0002.png",
+               np.zeros((8, 8, 3), np.uint8))
+    jobs = build_sintel_list(str(root), ["clean", "final"])
+    assert len(jobs) == 1
+    assert jobs[0].out_flo.endswith("frame_0001.flo")
