@@ -128,16 +128,24 @@ def run_tasks(
     for bucket, group in groups.items():
         step = max_chunk(bucket)
         for i in range(0, len(group), step):
-            chunked.append((bucket, group[i : i + step]))
+            chunk_tasks = group[i : i + step]
+            n_real = len(chunk_tasks)
+            # pad partial chunks by repeating the last task: one compiled
+            # batch shape per bucket instead of one per remainder size
+            # (a wasted duplicate solve costs ~0.1-0.5s; a compile costs
+            # 10-300s on this platform)
+            while 1 < len(chunk_tasks) < step:
+                chunk_tasks = chunk_tasks + [chunk_tasks[-1]]
+            chunked.append((bucket, chunk_tasks, n_real))
 
-    for bucket, group in chunked:
+    for bucket, group, n_real in chunked:
         batched_ops = jax.tree.map(lambda *ls: jnp.stack(ls), *[t.ops for t in group])
         rgb_b = jnp.stack([t.rgb for t in group])
         xs, flows, wrgbs, wmasks = solve_and_raster_batch(batched_ops, rgb_b, cfg)
         flows = np.asarray(flows)
         wrgbs = np.asarray(wrgbs)
         wmasks = np.asarray(wmasks)
-        for i, t in enumerate(group):
+        for i, t in enumerate(group[:n_real]):
             H, W = t.frame_hw
             bh, bw = t.bucket
             flow = np.zeros((H, W, 2), np.float32)
