@@ -538,17 +538,43 @@ def main_pipeline(
                     bgpool, writer,
                 )
         else:
-            for i, p in enumerate(pairs):
-                print(f"{100.0 * i / max(len(pairs), 1):.3f}%", flush=True)
+            # pipelined simple mode: the next pair's host+matcher prep runs on
+            # a worker thread while the current pair's solves occupy the
+            # device (jax dispatch is thread-safe; one worker keeps prep order
+            # and the BackgroundPool draw sequence deterministic)
+            from concurrent.futures import ThreadPoolExecutor
+
+            def safe_prep(p):
                 try:
-                    t = process_pair(flags, p, deformer, bgpool, writer)
+                    return prep_pair(flags, p, bgpool)
                 except AssertionError:
                     raise
-                except Exception as e:  # keep generating; log the failure
-                    log.warning("pair failed: %s (%s)", p.rgb1_org, e)
-                    t = None
-                if t is not None:
-                    triples.append(" ".join(t))
+                except Exception as e:
+                    log.warning("pair prep failed: %s (%s)", p.rgb1_org, e)
+                    return None
+
+            with ThreadPoolExecutor(max_workers=1) as ex:
+                fut = ex.submit(safe_prep, pairs[0]) if pairs else None
+                for i, p in enumerate(pairs):
+                    print(f"{100.0 * i / max(len(pairs), 1):.3f}%", flush=True)
+                    work = fut.result()
+                    if i + 1 < len(pairs):
+                        fut = ex.submit(safe_prep, pairs[i + 1])
+                    if work is None:
+                        continue
+                    try:
+                        with TIMER.stage("solve+raster"):
+                            seg_results = [
+                                deformer.deform(work.out1, m, cns)
+                                for _, m, cns in work.segments
+                            ]
+                        with TIMER.stage("compose+outputs-io"):
+                            t = finish_pair(work, seg_results, writer)
+                    except Exception as e:  # keep generating; log the failure
+                        log.warning("pair failed: %s (%s)", p.rgb1_org, e)
+                        t = None
+                    if t is not None:
+                        triples.append(" ".join(t))
     finally:
         if writer is not None:
             writer.close()
