@@ -64,8 +64,9 @@ def main():
     shutil.rmtree(root, ignore_errors=True)
     make_dataset(osp.join(root, "data"), n_pairs + 1)
 
-    for mode in ("batched", "simple"):
+    for mode in ("simple", "simple2"):
         out = osp.join(root, f"out_{mode}")
+        mode = "simple" if mode.startswith("simple") else mode
         flags = PipelineFlags(
             input=osp.join(root, "data"), output=out, fd=1, multseg=True,
             seed=0, mode=mode,
