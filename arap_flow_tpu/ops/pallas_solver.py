@@ -26,7 +26,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .stencil import DIRS
-from .pallas_pcg import _roll2
+from .pallas_pcg import _roll2, _t_signfold
 
 
 def _solve_kernel(
@@ -93,8 +93,7 @@ def _solve_kernel(
             ey = oy - oyj + (dx * s + dy * c)
             exn = oxj - ox - (dx * cj - dy * sj)
             eyn = oyj - oy - (dx * sj + dy * cj)
-            tx = (-dx) * s - dy * c
-            ty = dx * c - dy * s
+            tx, ty = _t_signfold(dy, dx, s, c)
             gx = gx + wr2 * v * (ex - exn)
             gy = gy + wr2 * v * (ey - eyn)
             ga = ga + wr2 * v * (tx * ex + ty * ey)
@@ -126,10 +125,8 @@ def _solve_kernel(
                 paj = _roll2(p[2], dy, dx)
                 sj = _roll2(s_, dy, dx)
                 cj = _roll2(c_, dy, dx)
-                tx = (-dx) * s_ - dy * c_
-                ty = dx * c_ - dy * s_
-                txj = (-dx) * sj - dy * cj
-                tyj = dx * cj - dy * sj
+                tx, ty = _t_signfold(dy, dx, s_, c_)
+                txj, tyj = _t_signfold(dy, dx, sj, cj)
                 dox = p[0] - poxj
                 doy = p[1] - poyj
                 accx = accx + v * (2.0 * dox + p[2] * tx + paj * txj)
