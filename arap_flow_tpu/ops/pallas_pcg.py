@@ -274,12 +274,8 @@ def _pcg_kernel_batched(
             aa = jnp.zeros_like(pa)
             for k, (dy, dx) in enumerate(DIRS):
                 v = vm_ref[bi, k]
-                sj = sj_ref[bi, k]
-                cj = cj_ref[bi, k]
-                tx = (-dx) * s - dy * c
-                ty = dx * c - dy * s
-                txj = (-dx) * sj - dy * cj
-                tyj = dx * cj - dy * sj
+                tx, ty = _t_signfold(dy, dx, s, c)
+                txj, tyj = _t_signfold(dy, dx, sj_ref[bi, k], cj_ref[bi, k])
                 dox = px - _roll2(px, dy, dx)
                 doy = py - _roll2(py, dy, dx)
                 paj = _roll2(pa, dy, dx)

@@ -328,37 +328,54 @@ def _solve_batch_impl(ops, dyn, static_key):
     return jax.vmap(one)(ops)
 
 
-@partial(jax.jit, static_argnames=("static_key",))
-def _solve_batch_kernel_impl(ops, dyn, static_key):
+@partial(jax.jit, static_argnames=("static_key", "interpret"))
+def _solve_batch_kernel_impl(ops, dyn, static_key, interpret=False):
     """Batched solve driving the multi-problem resident PCG kernel: one
     iteration dependency chain shared by the whole bucket batch (the chain is
     latency-bound for small problems)."""
     from .pallas_pcg import pcg_pallas_batched
 
     cfg = _rebuild_config(dyn, static_key)
-    budget = jnp.minimum(
-        jnp.float32(cfg.max_pcg_iters), jnp.float32(cfg.pcg_iters)
-    ).astype(jnp.int32)
+    pcg_late = jnp.float32(cfg.pcg_iters)
+    pcg_early = jnp.float32(cfg.pcg_iters_early)
+    split = jnp.float32(cfg.anneal_split)
     x0 = jax.vmap(init_state)(ops)
 
-    def gn(x, cimg):
+    def gn(x, cimg, budget):
         s, c = jnp.sin(x[:, 2]), jnp.cos(x[:, 2])
         jtf, diag = jax.vmap(jtf_and_diag)(x, ops, cimg)
         pre = guarded_invert(diag)
         delta = pcg_pallas_batched(
             -jtf, pre, s, c, ops.vmasks, ops.fitmask,
-            ops.wf2[0], ops.wr2[0], budget,
+            ops.wf2[0], ops.wr2[0], budget, interpret=interpret,
         )
         return x + delta
 
     def outer(i, x):
         alpha = (i + 1.0) / cfg.num_anneal
         cimg = (1.0 - alpha) * ops.con_src + alpha * ops.con_tgt
-        return lax.fori_loop(0, cfg.gn_iters, lambda _, xx: gn(xx, cimg), x)
+        # non-uniform schedule parity with anneal_solve_stats: early anneal
+        # steps may run a reduced PCG budget (pcg_iters_early/anneal_split)
+        iters = jnp.where(
+            jnp.logical_and(pcg_early > 0.0, i.astype(jnp.float32) < split),
+            pcg_early, pcg_late,
+        )
+        budget = jnp.minimum(jnp.float32(cfg.max_pcg_iters), iters).astype(
+            jnp.int32
+        )
+        return lax.fori_loop(
+            0, cfg.gn_iters, lambda _, xx: gn(xx, cimg, budget), x
+        )
 
     x = lax.fori_loop(0, cfg.num_anneal, outer, x0)
     flows = x[:, :2] - ops.grid
-    n = jnp.float32(cfg.num_anneal * cfg.gn_iters) * budget.astype(jnp.float32)
+    steps = jnp.arange(cfg.num_anneal, dtype=jnp.float32)
+    per_step = jnp.where(
+        jnp.logical_and(pcg_early > 0.0, steps < split), pcg_early, pcg_late
+    )
+    n = jnp.float32(cfg.gn_iters) * jnp.sum(
+        jnp.minimum(jnp.float32(cfg.max_pcg_iters), per_step)
+    )
     return x, flows, n
 
 

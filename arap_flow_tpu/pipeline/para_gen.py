@@ -222,14 +222,24 @@ def scan_pairs(flags: PipelineFlags) -> list[PairPaths]:
     return pairs
 
 
-def run_matching(flags: PipelineFlags, p: PairPaths, rgb1, rgb2) -> np.ndarray:
-    """Produce raw matches (N,4+) for a pair, by backend."""
+def run_matching(
+    flags: PipelineFlags, p: PairPaths, rgb1, rgb2, src_paths=None
+) -> np.ndarray:
+    """Produce raw matches (N,4+) for a pair, by backend.
+
+    `src_paths` (path1, path2) names the PREPROCESSED frame files the external
+    matcher must see: when --size resizes or a portrait frame is transposed,
+    matches must be in preprocessed coordinates or filter_matches silently
+    misfilters them (the reference re-points rgb1_org/rgb2_org at the saved
+    preprocessed files, para_gen.py:294-310). Defaults to the original files
+    (correct when no preprocessing happened)."""
     if flags.matcher == "binary":
         assert flags.dm_bin and osp.exists(flags.dm_bin), (
             f"File not found {flags.dm_bin}"
         )
+        src1, src2 = src_paths or (p.rgb1_org, p.rgb2_org)
         cmd = (
-            f"./{flags.dm_bin} {p.rgb1_org} {p.rgb2_org} -nt 0 "
+            f"{osp.abspath(flags.dm_bin)} {src1} {src2} -nt 0 "
             f"-out {p.cstr_tmp} -ngh_rad 100"
         )
         status = subprocess.call(cmd, shell=True)
@@ -278,8 +288,11 @@ class PairWork:
 
 
 def decode_pair(flags: PipelineFlags, p: PairPaths):
-    """Decode + preprocess one pair; returns (im1, mk1, im2, mk2, src1, src2)
-    or None when the masks are empty (has_mask, para_gen.py:243-251)."""
+    """Decode + preprocess one pair; returns
+    (im1, mk1, im2, mk2, src1, src2, src1_path, src2_path) or None when the
+    masks are empty (has_mask, para_gen.py:243-251). src*_path name the files
+    an EXTERNAL matcher must read — the saved preprocessed frames when
+    preprocessing happened, the originals otherwise."""
     with TIMER.stage("decode+preprocess"):
         im1p = Image.open(p.rgb1_org).convert("RGB")
         mk1p = Image.open(p.msk1_org)
@@ -302,9 +315,11 @@ def decode_pair(flags: PipelineFlags, p: PairPaths):
         im1p.save(p.rgb1_gen)
         im2p.save(p.rgb2_gen)
         src1, src2 = np.array(im1p), np.array(im2p)
+        src1_path, src2_path = p.rgb1_gen, p.rgb2_gen
     else:
         src1, src2 = im1, im2
-    return im1, mk1, im2, mk2, src1, src2
+        src1_path, src2_path = p.rgb1_org, p.rgb2_org
+    return im1, mk1, im2, mk2, src1, src2, src1_path, src2_path
 
 
 def prep_pair(
@@ -317,13 +332,15 @@ def prep_pair(
     decoded = decode_pair(flags, p)
     if decoded is None:
         return None
-    im1, mk1, im2, mk2, src1, src2 = decoded
+    im1, mk1, im2, mk2, src1, src2, src1_path, src2_path = decoded
 
     if prematched is not None:
         matches = prematched
     else:
         with TIMER.stage("matching"):
-            matches = run_matching(flags, p, src1, src2)
+            matches = run_matching(
+                flags, p, src1, src2, src_paths=(src1_path, src2_path)
+            )
     kept, seg_ids = filter_matches(matches, mk1, mk2)
     write_constraint_file(p.cstr_tmp, kept)  # cache (para_gen.py:479)
     if len(kept) == 0:
@@ -430,12 +447,27 @@ def process_chunk_batched(
                 d = None
             if d is not None:
                 decoded_pairs.append((p, d[4], d[5]))
+        # one batched-matcher program per frame shape: without --size a chunk
+        # can span sequences of different resolutions, and the matcher stacks
+        # its batch. A failed group falls back to per-pair matching inside
+        # prep_pair (which is failure-isolated below).
+        groups: dict = {}
+        for p, s1, s2 in decoded_pairs:
+            groups.setdefault(s1.shape, []).append((p, s1, s2))
         with TIMER.stage("matching"):
-            match_lists = match_images_batched(
-                [(s1, s2) for _, s1, s2 in decoded_pairs], radius=100
-            )
-        for (p, _, _), m in zip(decoded_pairs, match_lists):
-            prematched[id(p)] = m[:, :4].astype(np.int32)
+            for shape, grp in groups.items():
+                try:
+                    match_lists = match_images_batched(
+                        [(s1, s2) for _, s1, s2 in grp], radius=100
+                    )
+                except Exception as e:
+                    log.warning(
+                        "batched matching failed for shape %s (%s); "
+                        "falling back to per-pair matching", shape, e,
+                    )
+                    continue
+                for (p, _, _), m in zip(grp, match_lists):
+                    prematched[id(p)] = m[:, :4].astype(np.int32)
 
     works: list[PairWork] = []
     tasks, fallbacks = [], []

@@ -54,3 +54,35 @@ def test_batched_kernel_matches_per_problem():
         np.testing.assert_allclose(
             np.asarray(out[i]), np.asarray(ref), rtol=3e-3, atol=3e-3
         )
+
+
+def test_batched_kernel_honors_nonuniform_schedule():
+    """--schedule fast (pcg_iters_early/anneal_split) must reach the batched
+    kernel path: its results must match the XLA per-problem path run with the
+    SAME non-uniform schedule, and differ from a uniform full-budget run."""
+    probs = [_problem(s) for s in range(2)]
+    batched = jax.tree.map(lambda *ls: jnp.stack(ls), *probs)
+    cfg = S.SolverConfig(
+        num_anneal=4, gn_iters=1, max_pcg_iters=30, pcg_iters=30.0,
+        pcg_iters_early=8.0, anneal_split=2.0, backend="pallas",
+    )
+    xs_k, flows_k, n_k = S._solve_batch_kernel_impl(
+        batched, cfg.dynamic, cfg.static_key, interpret=True
+    )
+    # iteration accounting reflects the split: 2*8 + 2*30 per gn iter
+    assert float(n_k) == 1 * (2 * 8 + 2 * 30)
+
+    cfg_x = cfg._replace(backend="xla")
+    xs_x, flows_x, nx = S._solve_batch_impl(batched, cfg_x.dynamic, cfg_x.static_key)
+    assert list(np.asarray(nx)) == [76.0, 76.0]  # XLA path, same accounting
+    # truncated-CG transients differ by float ordering (~0.02 max even with a
+    # uniform schedule); compare bulk agreement, not elementwise tight
+    d = np.abs(np.asarray(flows_k) - np.asarray(flows_x))
+    assert d.max() < 0.05 and np.median(d) < 0.005
+
+    cfg_u = cfg._replace(pcg_iters_early=0.0, anneal_split=0.0)
+    xs_u, flows_u, n_u = S._solve_batch_kernel_impl(
+        batched, cfg_u.dynamic, cfg_u.static_key, interpret=True
+    )
+    assert float(n_u) == 4 * 30
+    assert np.abs(np.asarray(flows_k) - np.asarray(flows_u)).max() > 1e-4

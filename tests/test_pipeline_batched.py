@@ -1,5 +1,6 @@
 """Batched pipeline mode must produce the same products as simple mode."""
 
+import os
 import os.path as osp
 
 import numpy as np
@@ -8,7 +9,7 @@ from PIL import Image
 from arap_flow_tpu.io import flo
 from arap_flow_tpu.pipeline.para_gen import PipelineFlags, main_pipeline
 
-from test_pipeline import _make_dataset, CFG, DX, DY
+from test_pipeline import _make_dataset, _smooth_texture, CFG, DX, DY
 
 
 def test_batched_matches_simple(tmp_path):
@@ -44,3 +45,48 @@ def test_batched_matches_simple(tmp_path):
     wm_s = np.array(Image.open(osp.join(out_s, "wMasks", "seq0", "00000.png")))
     wm_b = np.array(Image.open(osp.join(out_b, "wMasks", "seq0", "00000.png")))
     assert ((wm_s > 0) == (wm_b > 0)).mean() > 0.98
+
+
+def _make_seq(root, seq, H_, W_, n_frames=2):
+    """A moving textured square at an arbitrary resolution."""
+    tex = _smooth_texture(H_, W_, 1)
+    bgtex = _smooth_texture(H_, W_, 2) // 3
+    os.makedirs(osp.join(root, "orgRGB", seq), exist_ok=True)
+    os.makedirs(osp.join(root, "orgMasks", seq), exist_ok=True)
+    yy, xx = np.mgrid[0:H_, 0:W_]
+    for t in range(n_frames):
+        img = bgtex.copy()
+        mask = np.zeros((H_, W_), np.uint8)
+        y0, x0 = 12 + DY * t, 8 + DX * t
+        ob = (yy >= y0) & (yy < y0 + 24) & (xx >= x0) & (xx < x0 + 28)
+        img[ob] = tex[yy[ob] - DY * t, xx[ob] - DX * t]
+        mask[ob] = 1
+        Image.fromarray(img).save(
+            osp.join(root, "orgRGB", seq, f"{t:05d}.jpg"), quality=98
+        )
+        Image.fromarray(mask).save(osp.join(root, "orgMasks", seq, f"{t:05d}.png"))
+
+
+def test_batched_mixed_resolutions(tmp_path):
+    """Without --size, one batched chunk can span sequences of different
+    resolutions; the batched matcher must group by shape instead of aborting
+    the run on jnp.stack."""
+    inp = str(tmp_path / "data")
+    out = str(tmp_path / "out")
+    _make_seq(inp, "seq_a", 64, 80)
+    _make_seq(inp, "seq_b", 48, 96)
+    cfg = CFG._replace(backend="xla")
+    triples = main_pipeline(
+        PipelineFlags(input=inp, output=out, fd=1, seed=0, mode="batched"),
+        solver_cfg=cfg,
+    )
+    assert len(triples) == 2  # one pair per sequence, both survive
+    for seq, (h, w) in (("seq_a", (64, 80)), ("seq_b", (48, 96))):
+        u, v = flo.flow_read(osp.join(out, "Flow", seq, "00000.flo"))
+        assert u.shape == (h, w)
+        mask = np.array(
+            Image.open(osp.join(inp, "orgMasks", seq, "00000.png"))
+        )
+        obj = mask == 1
+        assert abs(np.median(u[obj]) - DX) < 0.5
+        assert abs(np.median(v[obj]) - DY) < 0.5
