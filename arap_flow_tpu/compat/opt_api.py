@@ -103,7 +103,7 @@ def _bind(plan: _Plan, problem_params: list) -> None:
     import jax.numpy as jnp
 
     arap_mask = (mask != 0).astype(np.uint8) * 255
-    ops = E.build_operands(jnp.asarray(arap_mask), np.zeros((0, 4), np.int32),
+    ops = E.build_operands(np.asarray(arap_mask), np.zeros((0, 4), np.int32),
                            weights)
     fit = ((cons_img[:, :, 0] >= 0) & (cons_img[:, :, 1] >= 0)).astype(
         np.float32

@@ -112,10 +112,23 @@ def add_border_pins(constraints: np.ndarray, width: int, height: int) -> np.ndar
     Parity with ARAP/deformation/src/main.cpp:95-101 / 130-137 (every border pixel
     is constrained to itself; order: row-major y outer, x inner).
     """
-    ys, xs = np.mgrid[0:height, 0:width]
-    border = (ys == 0) | (xs == 0) | (ys == height - 1) | (xs == width - 1)
-    bx = xs[border].astype(np.int32)
-    by = ys[border].astype(np.int32)
-    pins = np.stack([bx, by, bx, by], axis=1)
+    # border pixels in row-major order (y outer, x inner) without
+    # materialising full H×W index grids (this runs per segment in the
+    # pipeline's host prep loop)
+    xr = np.arange(width, dtype=np.int32)
+    ymid = np.arange(1, height - 1, dtype=np.int32)
+    rows = [np.stack([xr, np.zeros(width, np.int32)], 1)]
+    if height > 1:
+        edges = np.empty((ymid.size * 2, 2), np.int32)
+        edges[0::2, 0] = 0
+        edges[1::2, 0] = width - 1
+        edges[0::2, 1] = ymid
+        edges[1::2, 1] = ymid
+        rows.append(edges if width > 1 else edges[0::2])
+        rows.append(
+            np.stack([xr, np.full(width, height - 1, np.int32)], 1)
+        )
+    b = np.concatenate(rows, axis=0)
+    pins = np.concatenate([b, b], axis=1)
     constraints = np.asarray(constraints, dtype=np.int32).reshape(-1, 4)
     return np.concatenate([constraints, pins], axis=0)

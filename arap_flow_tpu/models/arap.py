@@ -176,7 +176,7 @@ class ArapDeformer:
         if self.crop:
             return self._deform_cropped(rgb, arap_mask, cons)
 
-        ops = E.build_operands(jnp.asarray(arap_mask), cons, self.weights)
+        ops = E.build_operands(np.asarray(arap_mask), cons, self.weights)
         rgb_f = jnp.asarray(rgb.transpose(2, 0, 1), jnp.float32)
         x, flow, wrgb, wmask = _solve_and_raster(ops, rgb_f, self.cfg)
         return DeformResult(
@@ -220,7 +220,7 @@ class ArapDeformer:
         )
         shifted = shifted[inside]
 
-        ops = E.build_operands(jnp.asarray(sub_mask), shifted, self.weights)
+        ops = E.build_operands(sub_mask, shifted, self.weights)
         rgb_f = jnp.asarray(sub_rgb.transpose(2, 0, 1), jnp.float32)
         x, flow, wrgb, wmask = _solve_and_raster(ops, rgb_f, self.cfg)
 
@@ -243,7 +243,7 @@ class ArapDeformer:
         cons = np.asarray(constraints, np.int32).reshape(-1, 4)
         if self.pin_border:
             cons = add_border_pins(cons, W, H)
-        ops = E.build_operands(jnp.asarray(arap_mask), cons, self.weights)
+        ops = E.build_operands(np.asarray(arap_mask), cons, self.weights)
         _, flow = S.solve(ops, self.cfg)
         return np.asarray(flow).transpose(1, 2, 0)
 
@@ -272,15 +272,30 @@ def _solve_and_raster_batch_impl(ops, rgb_f, dyn, static_key):
     return jax.vmap(one)(ops, rgb_f)
 
 
-def solve_and_raster_batch(ops_batched, rgb_batched, cfg: SolverConfig):
+def solve_and_raster_batch(ops_batched, rgb_batched, cfg: SolverConfig,
+                           mesh=None):
     """Batched solve + rasterize for same-shape (bucketed) problems.
 
     ops_batched: ArapOperands with leading batch axis on every leaf;
     rgb_batched: (B, 3, H, W) float32. Returns (x, flow, wrgb, wmask) batched.
     This is the on-chip replacement for the reference's per-GPU process farm:
     many (frame, segment) problems solved in one compiled program.
+
+    `mesh`: optional jax Mesh — the batch axis is sharded over its 'data'
+    axis (the multi-chip task farm, para_gen.py:560-567 equivalent; zero
+    collectives, each chip owns whole problems). B must be divisible by the
+    'data' axis size.
     """
     cfg = cfg.resolve()
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def put(leaf):
+            spec = P("data", *([None] * (leaf.ndim - 1)))
+            return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+        ops_batched = jax.tree.map(put, ops_batched)
+        rgb_batched = put(rgb_batched)
     return _solve_and_raster_batch_impl(
         ops_batched, rgb_batched, cfg.dynamic, cfg.static_key
     )

@@ -98,6 +98,7 @@ def build_operands(
     arap_mask,
     constraints,
     weights: ArapWeights = ArapWeights(),
+    dtype=None,
 ) -> ArapOperands:
     """Build solve-time operands from an ARAP mask and a constraint list.
 
@@ -106,6 +107,11 @@ def build_operands(
     constraints: (N, 4) int — rows (x1, y1, x2, y2); should already include border
                  pins (io.constraints.add_border_pins, main.cpp:95-101). Constraints
                  are only activated on solve-region pixels (CombinedSolver.h:234).
+    dtype:       solve precision, float32 (default) or float64 — the
+                 _opt_double_precision switch (precision.t, Opt.h:10-30). The
+                 solver operators follow the operand dtype; f64 requires
+                 jax x64 mode (jax.experimental.enable_x64 or the global
+                 jax_enable_x64 flag) and routes to the XLA backend.
 
     Host-side numpy on purpose: device scatters here would compile a fresh
     program per distinct constraint count (a per-segment recompile in the
@@ -113,9 +119,10 @@ def build_operands(
     """
     import numpy as _np
 
+    dtype = _np.dtype(dtype or _np.float32)
     arap_mask = _np.asarray(arap_mask)
     H, W = arap_mask.shape
-    m = (arap_mask == 0).astype(_np.float32)
+    m = (arap_mask == 0).astype(dtype)
 
     def _shift_np(a, dy, dx):
         out = _np.zeros_like(a)
@@ -129,9 +136,9 @@ def build_operands(
     vmasks = _np.stack([m * _shift_np(m, dy, dx) for dy, dx in DIRS])
     degree = vmasks.sum(0)
 
-    con_src = _np.zeros((2, H, W), _np.float32)
-    con_tgt = _np.zeros((2, H, W), _np.float32)
-    fit = _np.zeros((H, W), _np.float32)
+    con_src = _np.zeros((2, H, W), dtype)
+    con_tgt = _np.zeros((2, H, W), dtype)
+    fit = _np.zeros((H, W), dtype)
     constraints = _np.asarray(constraints, _np.int64).reshape(-1, 4)
     if constraints.shape[0]:
         x1, y1, x2, y2 = (constraints[:, k] for k in range(4))
@@ -145,7 +152,7 @@ def build_operands(
     fit = fit * m
 
     gx, gy = _np.meshgrid(
-        _np.arange(W, dtype=_np.float32), _np.arange(H, dtype=_np.float32)
+        _np.arange(W, dtype=dtype), _np.arange(H, dtype=dtype)
     )
     return ArapOperands(
         mask=jnp.asarray(m),
@@ -155,8 +162,8 @@ def build_operands(
         con_tgt=jnp.asarray(con_tgt),
         fitmask=jnp.asarray(fit),
         grid=jnp.asarray(_np.stack([gx, gy])),
-        wf2=jnp.float32(weights.w_fit),
-        wr2=jnp.float32(weights.w_reg),
+        wf2=jnp.asarray(_np.asarray(weights.w_fit, dtype)),
+        wr2=jnp.asarray(_np.asarray(weights.w_reg, dtype)),
     )
 
 
@@ -171,9 +178,9 @@ def anneal_constraints(ops: ArapOperands, alpha) -> jnp.ndarray:
 
 def init_state(ops: ArapOperands) -> jnp.ndarray:
     """Initial unknowns x = [warpField=grid, angle=0]; resetGPU parity
-    (CombinedSolver.h:207-221)."""
+    (CombinedSolver.h:207-221). Follows the operand dtype (f32/f64 switch)."""
     H, W = ops.mask.shape
-    return jnp.concatenate([ops.grid, jnp.zeros((1, H, W), jnp.float32)])
+    return jnp.concatenate([ops.grid, jnp.zeros((1, H, W), ops.grid.dtype)])
 
 
 def trig(x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -254,6 +261,61 @@ def jtf_and_diag(
     diag_a = ops.wr2 * ops.degree
     diag = jnp.stack([diag_o, diag_o, diag_a])
     return jtf, diag
+
+
+def sparse_jacobian(x, ops: ArapOperands, cimg):
+    """Explicit sparse Jacobian export — the dumpJ analogue (o.t:2318-2344,
+    the reference's optional CSR export for an external cusparse solver).
+
+    Rows index the 10 scalar residual planes of `residuals` (4 dirs × 2
+    components + 2 fit components), row = plane·H·W + y·W + x; columns index
+    the flattened unknowns, col = channel·H·W + y·W + x with channels
+    (offset_x, offset_y, angle). Returns (rows, cols, vals) numpy COO arrays
+    with structural zeros (masked residuals) removed. Beyond parity, this is
+    an independent oracle for the hand-derived stencil operators — see
+    tests/test_dumpj.py (J·p ≡ jvp, JᵀJ·p ≡ apply_jtj, diag(JᵀJ) ≡
+    jtf_and_diag).
+    """
+    import numpy as _np
+
+    x = _np.asarray(x)
+    H, W = x.shape[-2:]
+    HW = H * W
+    s, c = _np.sin(x[2]), _np.cos(x[2])
+    wr = float(_np.sqrt(_np.asarray(ops.wr2)))
+    wf = float(_np.sqrt(_np.asarray(ops.wf2)))
+    vmasks = _np.asarray(ops.vmasks)
+    fit = _np.asarray(ops.fitmask)
+    pix = _np.arange(HW, dtype=_np.int64).reshape(H, W)
+
+    rows_l, cols_l, vals_l = [], [], []
+
+    def emit(row, col, val):
+        rows_l.append(row.ravel())
+        cols_l.append(col.ravel())
+        vals_l.append(val.ravel())
+
+    yy, xx = _np.mgrid[0:H, 0:W]
+    for k, (dy, dx) in enumerate(DIRS):
+        v = vmasks[k]
+        jy = _np.clip(yy + dy, 0, H - 1)
+        jx = _np.clip(xx + dx, 0, W - 1)
+        jpix = jy * W + jx
+        tx, ty = _t_dir(s, c, dy, dx)
+        for comp, t_a in ((0, tx), (1, ty)):
+            row = (2 * k + comp) * HW + pix
+            emit(row, comp * HW + pix, wr * v)        # ∂/∂o_i
+            emit(row, comp * HW + jpix, -wr * v)      # ∂/∂o_j
+            emit(row, 2 * HW + pix, wr * v * t_a)     # ∂/∂a_i
+    for comp in (0, 1):
+        row = (8 + comp) * HW + pix
+        emit(row, comp * HW + pix, wf * fit)
+
+    rows = _np.concatenate(rows_l)
+    cols = _np.concatenate(cols_l)
+    vals = _np.concatenate(vals_l).astype(_np.asarray(x).dtype)
+    keep = vals != 0.0
+    return rows[keep], cols[keep], vals[keep]
 
 
 def apply_jtj(

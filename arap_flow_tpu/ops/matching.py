@@ -9,7 +9,12 @@ TPU-native coarse-to-fine normalized-cross-correlation pyramid:
 1. grayscale + Gaussian-ish pyramid (2×2 average pooling);
 2. at the coarsest level, exhaustive NCC search over a static offset window
    (the `-ngh_rad` bound shrunk by the pyramid factor) using z-scored patches
-   and fused static shifts;
+   and fused static shifts — run once per ROTATION HYPOTHESIS (a static angle
+   set; image 2 is rotated about its center before the search and the winning
+   angle is folded back into the seeded flow field), giving DeepMatching-like
+   tolerance to large rotations that the ±2/level refinement alone cannot
+   track (measured: a 25° rotation collapses the 0-hypothesis matcher to ~30
+   wrong matches; with hypotheses the field is recovered);
 3. at each finer level, the upsampled flow warps image 2 (one bilinear gather),
    then a ±2 static-offset NCC search refines the estimate;
 4. forward-backward consistency and a minimum-NCC threshold select matches on
@@ -133,6 +138,18 @@ def _grid(H: int, W: int):
     return gx, gy
 
 
+def _rotate_about_center(im: jnp.ndarray, theta: float) -> jnp.ndarray:
+    """Sample im at positions rotated by +theta about the image center:
+    out(q) = im(R_θ(q−c) + c)."""
+    H, W = im.shape
+    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
+    gx, gy = _grid(H, W)
+    ca, sa = float(np.cos(theta)), float(np.sin(theta))
+    qx = ca * (gx - cx) - sa * (gy - cy) + cx
+    qy = sa * (gx - cx) + ca * (gy - cy) + cy
+    return _bilinear(im, qx, qy)
+
+
 def _pyramid_flow_impl(
     g1: jnp.ndarray,
     g2: jnp.ndarray,
@@ -140,10 +157,20 @@ def _pyramid_flow_impl(
     patch: int = 8,
     levels: int = 4,
     refine_radius: int = 2,
+    rotations: tuple = (0.0,),
 ):
     """Dense coarse-to-fine NCC flow estimate (trace-level implementation).
 
     g1, g2: (H, W) float32 grayscale. Returns (flow (2, H, W), score (H, W)).
+
+    `rotations`: static tuple of coarse-level rotation hypotheses (radians).
+    For each θ, image 2 is rotated by θ about its center and searched; where
+    that hypothesis wins on NCC score, the seeded target position becomes
+    t(p) = R_θ(p + d − c) + c, i.e. the rotation is folded back into the flow
+    field. The per-level refinement then tracks it exactly (the warp is a
+    per-pixel gather — a correct flow field reconstructs image 1 regardless
+    of local rotation). Runs at the coarsest level only: K hypotheses cost
+    K tiny searches (e.g. 53×30 px at 854×480, levels=4).
     """
     pyr1, pyr2 = [g1], [g2]
     for _ in range(levels):
@@ -152,8 +179,40 @@ def _pyramid_flow_impl(
 
     coarse_r = max(2, int(np.ceil(radius / (2 ** levels))))
     z1 = _zscore(pyr1[-1], patch)
-    z2 = _zscore(pyr2[-1], patch)
-    u, v, score = _search(z1, z2, coarse_r, patch)
+    Hc, Wc = pyr1[-1].shape
+    ccy, ccx = (Hc - 1) / 2.0, (Wc - 1) / 2.0
+    gxc, gyc = _grid(Hc, Wc)
+    u = v = score = None
+    for theta in rotations:
+        if theta == 0.0:
+            g2r = pyr2[-1]
+        else:
+            g2r = _rotate_about_center(pyr2[-1], theta)
+        z2 = _zscore(g2r, patch)
+        du, dv, sc = _search(z1, z2, coarse_r, patch)
+        if theta == 0.0:
+            ur, vr = du, dv
+        else:
+            # matched position in the rotated frame: p + d; in image-2
+            # coordinates: R_θ((p + d) − c) + c
+            px = gxc + du
+            py = gyc + dv
+            ca, sa = float(np.cos(theta)), float(np.sin(theta))
+            tx = ca * (px - ccx) - sa * (py - ccy) + ccx
+            ty = sa * (px - ccx) + ca * (py - ccy) + ccy
+            ur, vr = tx - gxc, ty - gyc
+        if score is None:
+            u, v, score = ur, vr, sc
+        else:
+            # a rotated hypothesis must beat the incumbent by a clear NCC
+            # margin: rotated resampling can spuriously edge out identity on
+            # low-texture patches (near-tie scores), which measurably biases
+            # flow on weakly textured frames. Ties go to the earlier (by
+            # convention identity-first) hypothesis.
+            take = sc > score + (0.0 if theta == 0.0 else 0.1)
+            u = jnp.where(take, ur, u)
+            v = jnp.where(take, vr, v)
+            score = jnp.where(take, sc, score)
 
     for lvl in range(levels - 1, -1, -1):
         H, W = pyr1[lvl].shape
@@ -174,28 +233,39 @@ def _pyramid_flow_impl(
     return jnp.stack([u, v]), score
 
 
-@partial(jax.jit, static_argnames=("radius", "patch", "levels", "refine_radius"))
+@partial(jax.jit, static_argnames=("radius", "patch", "levels",
+                                   "refine_radius", "rotations"))
 def pyramid_flow(g1, g2, radius: int = 100, patch: int = 8, levels: int = 4,
-                 refine_radius: int = 2):
-    return _pyramid_flow_impl(g1, g2, radius, patch, levels, refine_radius)
+                 refine_radius: int = 2, rotations: tuple = (0.0,)):
+    return _pyramid_flow_impl(g1, g2, radius, patch, levels, refine_radius,
+                              rotations)
 
 
-@partial(jax.jit, static_argnames=("radius", "patch", "levels", "refine_radius"))
+@partial(jax.jit, static_argnames=("radius", "patch", "levels",
+                                   "refine_radius", "rotations"))
 def pyramid_flow_bidir(g1, g2, radius: int = 100, patch: int = 8,
-                       levels: int = 4, refine_radius: int = 2):
+                       levels: int = 4, refine_radius: int = 2,
+                       rotations: tuple = (0.0,)):
     """Forward and backward flow in ONE compiled program (vmapped pair) —
-    halves matcher compiles and dispatches."""
+    halves matcher compiles and dispatches. `rotations` must be a symmetric
+    set (the backward direction sees the inverse rotation)."""
     a = jnp.stack([g1, g2])
     b = jnp.stack([g2, g1])
     return jax.vmap(
         lambda x, y: _pyramid_flow_impl(x, y, radius, patch, levels,
-                                        refine_radius)
+                                        refine_radius, rotations)
     )(a, b)
 
 
-@partial(jax.jit, static_argnames=("radius", "patch", "levels", "refine_radius"))
+# default rotation-hypothesis set: ±15°/±30° coarse seeds, symmetric
+DEFAULT_ROTATIONS = (0.0, 0.2618, -0.2618, 0.5236, -0.5236)
+
+
+@partial(jax.jit, static_argnames=("radius", "patch", "levels",
+                                   "refine_radius", "rotations"))
 def match_fields(rgb1, rgb2, radius: int = 100, patch: int = 8,
-                 levels: int = 4, refine_radius: int = 2):
+                 levels: int = 4, refine_radius: int = 2,
+                 rotations: tuple = DEFAULT_ROTATIONS):
     """Gray conversion + bidirectional pyramid flow in one program.
 
     Takes (3, H, W) float32 RGB directly off the host: jitted inputs must be
@@ -205,7 +275,8 @@ def match_fields(rgb1, rgb2, radius: int = 100, patch: int = 8,
     200 s when fed eager-op outputs)."""
     g1, g2 = to_gray(rgb1), to_gray(rgb2)
     return pyramid_flow_bidir(g1, g2, radius=radius, patch=patch,
-                              levels=levels, refine_radius=refine_radius)
+                              levels=levels, refine_radius=refine_radius,
+                              rotations=rotations)
 
 
 def match_images_batched(
@@ -217,6 +288,7 @@ def match_images_batched(
     fb_threshold: float = 1.5,
     score_threshold: float = 0.3,
     chunk: int = 4,
+    rotations: tuple = None,
 ) -> list:
     """Batched matching over many (rgb1, rgb2) pairs of identical shape.
 
@@ -226,17 +298,20 @@ def match_images_batched(
     contract as match_images."""
     if not pairs:
         return []
+    if rotations is None:
+        rotations = DEFAULT_ROTATIONS
     H_, W_ = pairs[0][0].shape[:2]
     min_dim = min(H_, W_)
     levels = max(0, min(levels, int(np.floor(np.log2(min_dim / (3 * patch))))))
     radius = min(radius, min_dim)
 
-    @partial(jax.jit, static_argnames=("radius", "patch", "levels"))
-    def run_chunk(rgb1s, rgb2s, radius, patch, levels):
+    @partial(jax.jit, static_argnames=("radius", "patch", "levels",
+                                       "rotations"))
+    def run_chunk(rgb1s, rgb2s, radius, patch, levels, rotations):
         def one(r1, r2):
             g1, g2 = to_gray(r1), to_gray(r2)
             return pyramid_flow_bidir(g1, g2, radius=radius, patch=patch,
-                                      levels=levels)
+                                      levels=levels, rotations=rotations)
 
         return jax.vmap(one)(rgb1s, rgb2s)
 
@@ -254,7 +329,8 @@ def match_images_batched(
             jnp.asarray(np.ascontiguousarray(b[1].transpose(2, 0, 1)),
                         jnp.float32) for b in batch
         ])
-        flows_b, scores_b = run_chunk(r1, r2, radius, patch, levels)
+        flows_b, scores_b = run_chunk(r1, r2, radius, patch, levels,
+                              rotations)
         flows_b = np.asarray(flows_b)
         scores_b = np.asarray(scores_b)
         for i in range(n_real):
@@ -301,6 +377,7 @@ def match_images(
     levels: int = 4,
     fb_threshold: float = 1.5,
     score_threshold: float = 0.3,
+    rotations: tuple = None,
 ) -> np.ndarray:
     """Sparse matches between two (H, W, 3) uint8 images.
 
@@ -320,9 +397,11 @@ def match_images(
     import os as _os
     import time as _time
 
+    if rotations is None:
+        rotations = DEFAULT_ROTATIONS
     _t0 = _time.time()
     flows, scores = match_fields(j1, j2, radius=radius, patch=patch,
-                                 levels=levels)
+                                 levels=levels, rotations=rotations)
     flows = np.asarray(flows)
     fwd, bwd = flows[0], flows[1]
     score = np.asarray(scores[0])

@@ -15,7 +15,13 @@ flow field is zero outside the segment). This module uses a hybrid:
 3. **Windowed exact test**: for each output pixel, the K×K candidate quads
    around its seed run the reference's LK edge-function coverage test and the
    accepted candidate with the highest draw priority wins — the reference's
-   last-write-wins rule restricted to the candidate window.
+   last-write-wins rule restricted to the candidate window. The window is
+   ANCHORED ASYMMETRICALLY (offsets −2..window−3 by default): the seed is the
+   max source index landing near the pixel, so the true winner — the highest-
+   priority accepted quad — is never more than ~1 quad above it in index
+   order, while dilation can displace seeds a couple of quads upward.
+   Measured on the golden cat512 warp: offsets −2..+1 (window=4) matches the
+   −2..+2 window's 99.93% mask agreement; symmetric −1..+1 collapses to 95.9%.
 4. Barycentric color interpolation of the winner's corners, truncated to whole
    uint8 values (mLib vec3uc cast semantics).
 
@@ -101,21 +107,27 @@ def _seed_map(warp: jnp.ndarray, drawable: jnp.ndarray, dilate: int) -> jnp.ndar
     return seeds
 
 
-@partial(jax.jit, static_argnames=("window", "dilate"))
+@partial(jax.jit, static_argnames=("window", "dilate", "anchor"))
 def rasterize(
     warp: jnp.ndarray,
     rgb: jnp.ndarray,
     arap_mask: jnp.ndarray,
-    window: int = 5,
+    window: int = 4,
     dilate: int = 3,
+    anchor: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Forward-rasterize the warped grid.
 
     warp: (2, H, W) absolute warped positions; rgb: (3, H, W) float32 colors;
-    arap_mask: (H, W), 0 = object. Returns (warped_rgb (3,H,W) f32 holding
-    whole uint8 values, warped_mask (H,W) f32 ∈ {0,255}).
+    arap_mask: (H, W), 0 = object. Candidate quads are taken at offsets
+    −anchor..window−1−anchor around each pixel's seed (anchor defaults to
+    min(2, window−1); see module docstring for why the window skews negative).
+    Returns (warped_rgb (3,H,W) f32 holding whole uint8 values, warped_mask
+    (H,W) f32 ∈ {0,255}).
     """
     H, W = arap_mask.shape
+    if anchor is None:
+        anchor = min(2, window - 1)
     m = arap_mask == 0
     # quad drawable iff all 4 corners unmasked (main.cpp:190-195)
     m4 = jnp.zeros((H, W), bool)
@@ -124,8 +136,8 @@ def rasterize(
     )
 
     seeds = _seed_map(warp, m4, dilate)
-    sy0 = seeds // W - (window - 1) // 2
-    sx0 = seeds % W - (window - 1) // 2
+    sy0 = seeds // W - anchor
+    sx0 = seeds % W - anchor
     has_seed = seeds >= 0
 
     gx = jnp.arange(W, dtype=jnp.float32)[None, :] * jnp.ones((H, 1), jnp.float32)
@@ -222,9 +234,13 @@ def rasterize_flow(
     flow: jnp.ndarray,
     rgb: jnp.ndarray,
     arap_mask: jnp.ndarray,
-    window: int = 5,
+    window: int = 4,
     dilate: int = 3,
+    anchor: int | None = None,
 ):
     """Rasterize from a flow field (2, H, W): warp = flow + grid (the warp_image
     entry semantics, main.cpp:159-166)."""
-    return rasterize(make_warp(flow), rgb, arap_mask, window=window, dilate=dilate)
+    return rasterize(
+        make_warp(flow), rgb, arap_mask, window=window, dilate=dilate,
+        anchor=anchor,
+    )

@@ -193,7 +193,7 @@ def pcg_solve(
         r0,
         p0,
         rz0,
-        jnp.float32(0.0),
+        jnp.zeros((), rz0.dtype),  # q carry follows the solve dtype
         jnp.array(False),
     )
     state = lax.while_loop(cond, body, state)
@@ -290,10 +290,20 @@ def _use_fused(ops, cfg: SolverConfig) -> bool:
     return fits_vmem(H, W)
 
 
+def _resolve_for(ops, cfg: SolverConfig) -> SolverConfig:
+    """resolve() + dtype routing: f64 operands (the _opt_double_precision
+    switch, precision.t) run on the XLA backend — the Pallas kernels are
+    f32-only by design."""
+    cfg = cfg.resolve()
+    if ops.mask.dtype != jnp.float32 and cfg.backend != "xla":
+        cfg = cfg._replace(backend="xla")
+    return cfg
+
+
 def solve(ops: ArapOperands, cfg: SolverConfig):
     """Jitted full solve; returns (state (3,H,W), flow (2,H,W)). One compiled
     program per (shape, loop structure); tolerances/budget are traced."""
-    cfg = cfg.resolve()
+    cfg = _resolve_for(ops, cfg)
     if _use_fused(ops, cfg):
         from .pallas_solver import anneal_solve_fused
 
@@ -305,7 +315,7 @@ def solve(ops: ArapOperands, cfg: SolverConfig):
 
 def solve_stats(ops: ArapOperands, cfg: SolverConfig):
     """Like solve() but also returns total PCG iterations executed."""
-    cfg = cfg.resolve()
+    cfg = _resolve_for(ops, cfg)
     if _use_fused(ops, cfg):
         from .pallas_solver import anneal_solve_fused
 
@@ -379,13 +389,17 @@ def _solve_batch_kernel_impl(ops, dyn, static_key, interpret=False):
     return x, flows, n
 
 
-# VMEM planes for the batched kernel (inputs+outputs+scratch+temps), per problem
-_BATCH_KERNEL_PLANES = 40
+# VMEM planes for the batched kernel (inputs+outputs+scratch+temps), per
+# problem, and the Mosaic VMEM budget. Calibrated on hardware: B=8 at 256x384
+# and B=3 at 384x640 compile and run; B=10 at 256x384 (122 MB at 31 planes)
+# fails the 100 MB Mosaic limit.
+_BATCH_KERNEL_PLANES = 31
+_BATCH_KERNEL_VMEM = 100 * 1024 * 1024
 
 
 def _batch_kernel_fits(ops_batched) -> bool:
     B, H, W = ops_batched.mask.shape
-    return _BATCH_KERNEL_PLANES * B * H * W * 4 <= 60 * 1024 * 1024
+    return _BATCH_KERNEL_PLANES * B * H * W * 4 <= _BATCH_KERNEL_VMEM
 
 
 def solve_batch(ops: ArapOperands, cfg: SolverConfig):
@@ -395,7 +409,7 @@ def solve_batch(ops: ArapOperands, cfg: SolverConfig):
 
     NOTE: the multi-problem kernel path assumes all batch entries share the
     same energy weights (bucket batches built by pipeline/batch.py do)."""
-    cfg = cfg.resolve()
+    cfg = _resolve_for(ops, cfg)
     if (
         cfg.backend == "pallas"
         and float(cfg.q_tolerance) == 0.0

@@ -85,7 +85,7 @@ def make_task(
         (shifted[:, 0] >= 0) & (shifted[:, 0] < bw)
         & (shifted[:, 1] >= 0) & (shifted[:, 1] < bh)
     )
-    ops = E.build_operands(jnp.asarray(sub_mask), shifted[inside], weights)
+    ops = E.build_operands(sub_mask, shifted[inside], weights)
     return SegmentTask(
         pair_idx=pair_idx,
         seg_id=seg_id,
@@ -102,27 +102,44 @@ def run_tasks(
     tasks: list[SegmentTask],
     fallbacks: list[tuple],
     cfg: SolverConfig,
+    timer=None,
+    mesh=None,
 ) -> dict[tuple, DeformResult]:
     """Execute bucketed tasks (batched per bucket) + full-frame fallbacks.
 
     fallbacks: list of (pair_idx, seg_id, rgb, arap_mask, cons-with-pins).
+    `timer` (optional StageTimer) records a per-stage breakdown: upload,
+    device dispatch, D2H fetch (which on this platform also absorbs the wait
+    for device completion), and host paste.
+    `mesh`: optional jax Mesh — bucket batches are sharded over its 'data'
+    axis (--mode sharded; the reference's multi-GPU farm, para_gen.py:560-567)
+    and chunks are sized/padded to a multiple of the axis size.
     Returns {(pair_idx, seg_id): DeformResult (full-frame canvases)}.
     """
+    from ..utils.profiling import StageTimer
+
+    timer = timer if timer is not None else StageTimer()
+    n_data = 1 if mesh is None else mesh.shape["data"]
     out: dict[tuple, DeformResult] = {}
 
     groups: dict[tuple, list[SegmentTask]] = {}
     for t in tasks:
         groups.setdefault(t.bucket, []).append(t)
 
-    from ..ops.solver import _BATCH_KERNEL_PLANES
+    from ..ops.solver import _BATCH_KERNEL_PLANES, _BATCH_KERNEL_VMEM
 
     def max_chunk(bucket):
-        """Largest batch of this bucket shape fitting the kernel VMEM budget."""
+        """Largest batch of this bucket shape fitting the kernel VMEM budget.
+
+        Measured scaling (hardware, 400-iter PCG): 15.9 -> 5.2 ms/problem from
+        B=3 to B=8 at 256x384; 2.1 ms/problem at B=24, 128x256; 13.4 at B=3,
+        384x640 — the interleaved dependency chains hide each other's latency,
+        so fill VMEM. Cap 24: compile time grows with the per-problem unroll.
+        """
         bh, bw = bucket
         per_problem = _BATCH_KERNEL_PLANES * bh * bw * 4
-        # cap at 8: the interleaved kernel unrolls per problem
-        # (graph size and compile time scale with B; 8 is TPU-tested)
-        return max(1, min(8, (60 * 1024 * 1024) // per_problem))
+        # per-DEVICE VMEM budget; sharding multiplies the global batch
+        return n_data * max(1, min(24, _BATCH_KERNEL_VMEM // per_problem))
 
     chunked = []
     for bucket, group in groups.items():
@@ -133,35 +150,56 @@ def run_tasks(
             # pad partial chunks by repeating the last task: one compiled
             # batch shape per bucket instead of one per remainder size
             # (a wasted duplicate solve costs ~0.1-0.5s; a compile costs
-            # 10-300s on this platform)
-            while 1 < len(chunk_tasks) < step:
+            # 10-300s on this platform). Sharded runs additionally need the
+            # batch divisible by the 'data' axis (step is n_data-aligned, so
+            # only singleton chunks need the smaller n_data pad).
+            target = step if n_real > 1 else n_data
+            while len(chunk_tasks) < target:
                 chunk_tasks = chunk_tasks + [chunk_tasks[-1]]
             chunked.append((bucket, chunk_tasks, n_real))
 
+    # dispatch ALL chunks first (jax dispatch is async), then fetch: the D2H
+    # of chunk k overlaps the device execution of later chunks
+    pending = []
     for bucket, group, n_real in chunked:
-        batched_ops = jax.tree.map(lambda *ls: jnp.stack(ls), *[t.ops for t in group])
-        rgb_b = jnp.stack([t.rgb for t in group])
-        xs, flows, wrgbs, wmasks = solve_and_raster_batch(batched_ops, rgb_b, cfg)
-        flows = np.asarray(flows)
-        wrgbs = np.asarray(wrgbs)
-        wmasks = np.asarray(wmasks)
-        for i, t in enumerate(group[:n_real]):
-            H, W = t.frame_hw
-            bh, bw = t.bucket
-            flow = np.zeros((H, W, 2), np.float32)
-            flow[t.y0 : t.y0 + bh, t.x0 : t.x0 + bw] = flows[i].transpose(1, 2, 0)
-            rgb = np.zeros((H, W, 3), np.uint8)
-            rgb[t.y0 : t.y0 + bh, t.x0 : t.x0 + bw] = (
-                wrgbs[i].transpose(1, 2, 0).astype(np.uint8)
+        with timer.stage("upload+stack"):
+            batched_ops = jax.tree.map(
+                lambda *ls: jnp.stack(ls), *[t.ops for t in group]
             )
-            mask = np.zeros((H, W), np.uint8)
-            mask[t.y0 : t.y0 + bh, t.x0 : t.x0 + bw] = wmasks[i].astype(np.uint8)
-            out[(t.pair_idx, t.seg_id)] = DeformResult(
-                flow=flow, warped_rgb=rgb, warped_mask=mask
+            rgb_b = jnp.stack([t.rgb for t in group])
+        with timer.stage("solve+raster dispatch"):
+            xs, flows, wrgbs, wmasks = solve_and_raster_batch(
+                batched_ops, rgb_b, cfg, mesh=mesh
             )
+        pending.append((group, n_real, flows, wrgbs, wmasks))
+
+    for group, n_real, flows, wrgbs, wmasks in pending:
+        with timer.stage("D2H fetch"):
+            flows = np.asarray(flows)
+            wrgbs = np.asarray(wrgbs)
+            wmasks = np.asarray(wmasks)
+        with timer.stage("host paste"):
+            for i, t in enumerate(group[:n_real]):
+                H, W = t.frame_hw
+                bh, bw = t.bucket
+                flow = np.zeros((H, W, 2), np.float32)
+                flow[t.y0 : t.y0 + bh, t.x0 : t.x0 + bw] = flows[i].transpose(
+                    1, 2, 0
+                )
+                rgb = np.zeros((H, W, 3), np.uint8)
+                rgb[t.y0 : t.y0 + bh, t.x0 : t.x0 + bw] = (
+                    wrgbs[i].transpose(1, 2, 0).astype(np.uint8)
+                )
+                mask = np.zeros((H, W), np.uint8)
+                mask[t.y0 : t.y0 + bh, t.x0 : t.x0 + bw] = wmasks[i].astype(
+                    np.uint8
+                )
+                out[(t.pair_idx, t.seg_id)] = DeformResult(
+                    flow=flow, warped_rgb=rgb, warped_mask=mask
+                )
 
     for pair_idx, seg_id, rgb, arap_mask, cons in fallbacks:
-        ops = E.build_operands(jnp.asarray(arap_mask), cons)
+        ops = E.build_operands(np.asarray(arap_mask), cons)
         rgb_f = jnp.asarray(rgb.transpose(2, 0, 1), jnp.float32)
         _, flow, wrgb, wmask = _solve_and_raster(ops, rgb_f, cfg)
         out[(pair_idx, seg_id)] = DeformResult(

@@ -427,9 +427,13 @@ def process_chunk_batched(
     weights,
     bgpool: BackgroundPool,
     writer=None,
+    mesh=None,
 ) -> list[str]:
     """Batched mode: prep a chunk of pairs, bucket all segments across pairs,
-    run each bucket as one batched program, then compose/write per pair."""
+    run each bucket as one batched program, then compose/write per pair.
+    With `mesh` (--mode sharded) the bucket batches are sharded over the
+    mesh's 'data' axis — the reference's multi-GPU farm (para_gen.py:560-567)
+    as zero-collective data parallelism."""
     from .batch import make_task, run_tasks
 
     # batched matching: one vmapped matcher program over the chunk's pairs
@@ -497,7 +501,7 @@ def process_chunk_batched(
                 )
 
     try:
-        results = run_tasks(tasks, fallbacks, cfg)
+        results = run_tasks(tasks, fallbacks, cfg, mesh=mesh)
     except Exception as e:
         # failure isolation: a poisoned segment fails its chunk — retry the
         # chunk pair-by-pair through the simple path (the reference's worker
@@ -560,14 +564,22 @@ def main_pipeline(
         writer = None
 
     try:
-        if flags.mode == "batched":
+        if flags.mode in ("batched", "sharded"):
+            mesh = None
+            if flags.mode == "sharded":
+                from ..parallel import make_mesh
+
+                mesh = make_mesh()  # all visible devices on the 'data' axis
+                print(f"sharded over {mesh.shape['data']} devices")
             cfg = deformer.cfg
             chunk = max(flags.narap, 1) * 2
+            if mesh is not None:
+                chunk = max(chunk, mesh.shape["data"] * 2)
             for i in range(0, len(pairs), chunk):
                 print(f"{100.0 * i / max(len(pairs), 1):.3f}%", flush=True)
                 triples += process_chunk_batched(
                     flags, pairs[i : i + chunk], cfg, deformer.weights,
-                    bgpool, writer,
+                    bgpool, writer, mesh=mesh,
                 )
         else:
             # pipelined simple mode: the next pair's host+matcher prep runs on
@@ -654,10 +666,12 @@ def parse_args(argv=None) -> PipelineFlags:
                         help="ignored (solver is built in); parity flag")
     parser.add_argument("--schedule", choices=["parity", "fast"],
                         default="parity")
-    parser.add_argument("--mode", choices=["simple", "batched"],
+    parser.add_argument("--mode", choices=["simple", "batched", "sharded"],
                         default="simple",
                         help="batched buckets segments across pairs into one "
-                        "compiled program per bucket shape")
+                        "compiled program per bucket shape; sharded "
+                        "additionally shards bucket batches over all visible "
+                        "devices ('data' mesh axis)")
     parser.add_argument("--seed", type=int, default=None)
     a = parser.parse_args(argv)
     assert 0 < a.fd < 20, "Invalid fd number!"

@@ -32,7 +32,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-N_PAIRS = 4  # pairs per timed batch (2 segments each)
+N_PAIRS = 8  # pairs per timed batch (2 segments each)
 H, W = 480, 854
 SEG_SHAPES = (((90, 330), (180, 300)), ((260, 480), (120, 260)))  # centers/sizes
 
@@ -77,10 +77,12 @@ def main():
     deformer = ArapDeformer(cfg)
     rgb0, mask0, cons0 = problems[0]
     deformer.deform(rgb0, mask0, cons0)  # compile
-    t0 = time.time()
-    for rgb, mask, cons in problems:  # all pairs, sequentially
-        deformer.deform(rgb, mask, cons)
-    t_base = time.time() - t0
+    t_base = float("inf")
+    for _ in range(2):  # best of 2: give the baseline its best platform run
+        t0 = time.time()
+        for rgb, mask, cons in problems:  # all pairs, sequentially
+            deformer.deform(rgb, mask, cons)
+        t_base = min(t_base, time.time() - t0)
     base_pairs_per_s = N_PAIRS / t_base
 
     # ---- ours: bucket-aligned crops (exact), multi-problem resident kernel ----
@@ -89,26 +91,38 @@ def main():
     # bitwise identical to per-problem solves, ~1.4x faster)
     from arap_flow_tpu.ops.energy import ArapWeights
     from arap_flow_tpu.pipeline.batch import make_task, run_tasks
+    from arap_flow_tpu.utils.profiling import StageTimer
 
-    def run_all():
+    def run_all(timer=None):
         tasks, fallbacks = [], []
+        t0 = time.time()
         for i, (rgb, mask, cons) in enumerate(problems):
             t = make_task(i, 0, rgb, mask, cons, ArapWeights())
             if t is not None:
                 tasks.append(t)
             else:
                 fallbacks.append((i, 0, rgb, mask, cons))
-        return run_tasks(tasks, fallbacks, cfg)
+        if timer is not None:
+            timer.totals["host prep (crop+operands)"] += time.time() - t0
+            timer.counts["host prep (crop+operands)"] += 1
+        return run_tasks(tasks, fallbacks, cfg, timer=timer)
 
     run_all()  # compile
-    t_ours = float("inf")
-    for _ in range(2):  # best of 2: the shared platform varies run-to-run
+    times = []
+    timer = StageTimer()
+    for _ in range(3):  # median of 3: the shared platform varies run-to-run
         t0 = time.time()
-        results = run_all()  # includes host prep + full D2H of all products
-        t_ours = min(t_ours, time.time() - t0)
+        results = run_all(timer)  # includes host prep + full D2H of products
+        times.append(time.time() - t0)
+    t_ours = sorted(times)[1]
     assert len(results) == len(problems)
     ours_pairs_per_s = N_PAIRS / t_ours
 
+    # mean seconds per PAIR per stage, over the 3 timed runs
+    breakdown = {
+        name: round(timer.totals[name] / 3 / N_PAIRS, 4)
+        for name in timer.totals
+    }
     print(
         json.dumps(
             {
@@ -117,6 +131,9 @@ def main():
                 "value": round(ours_pairs_per_s, 3),
                 "unit": "pairs/s/chip",
                 "vs_baseline": round(ours_pairs_per_s / base_pairs_per_s, 2),
+                "runs_s": [round(t, 3) for t in times],
+                "baseline_pairs_per_s": round(base_pairs_per_s, 3),
+                "stage_s_per_pair": breakdown,
             }
         )
     )

@@ -43,6 +43,119 @@ def test_zero_motion():
     assert np.abs(u).max() <= 1 and np.abs(v).max() <= 1
 
 
+def _warp_bilinear(im: np.ndarray, mapx: np.ndarray, mapy: np.ndarray):
+    """im2[y, x] = im1[mapy, mapx] (inverse map, bilinear, edge clamp)."""
+    H, W = im.shape[:2]
+    x0 = np.clip(np.floor(mapx).astype(int), 0, W - 1)
+    y0 = np.clip(np.floor(mapy).astype(int), 0, H - 1)
+    x1 = np.minimum(x0 + 1, W - 1)
+    y1 = np.minimum(y0 + 1, H - 1)
+    fx = np.clip(mapx - x0, 0, 1)[..., None]
+    fy = np.clip(mapy - y0, 0, 1)[..., None]
+    out = (
+        im[y0, x0] * (1 - fx) * (1 - fy)
+        + im[y0, x1] * fx * (1 - fy)
+        + im[y1, x0] * (1 - fx) * fy
+        + im[y1, x1] * fx * fy
+    )
+    return out.astype(im.dtype)
+
+
+def _check_recovery(im1, fwd_x, fwd_y, inv_x, inv_y, radius, levels,
+                    med_tol=1.5, frac_tol=0.6, margin=12):
+    """Warp im1 by the given maps, match, and compare recovered displacement
+    to ground truth away from the borders."""
+    H, W = im1.shape[:2]
+    im2 = _warp_bilinear(im1, inv_x, inv_y)
+    m = match_images(im1, im2, radius=radius, levels=levels, stride=4)
+    assert len(m) > 50
+    x1 = m[:, 0].astype(int)
+    y1 = m[:, 1].astype(int)
+    interior = (
+        (x1 >= margin) & (x1 < W - margin) & (y1 >= margin) & (y1 < H - margin)
+    )
+    m = m[interior]
+    x1, y1 = m[:, 0].astype(int), m[:, 1].astype(int)
+    gt_u = fwd_x[y1, x1] - x1
+    gt_v = fwd_y[y1, x1] - y1
+    err = np.hypot(m[:, 2] - m[:, 0] - gt_u, m[:, 3] - m[:, 1] - gt_v)
+    assert np.median(err) < med_tol, np.median(err)
+    assert (err < 2.0).mean() > frac_tol, (err < 2.0).mean()
+
+
+def test_recovers_rotation():
+    """5° rotation about center: displacements vary over the frame (up to
+    ~7 px at the corners) — exercises the ±2/level refinement, not just the
+    coarse translation search."""
+    H, W = 128, 160
+    im1 = _texture(H, W, seed=7)
+    th = np.deg2rad(5.0)
+    cy, cx = H / 2, W / 2
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+    # forward map (where each source pixel lands)
+    fwd_x = np.cos(th) * (xx - cx) - np.sin(th) * (yy - cy) + cx
+    fwd_y = np.sin(th) * (xx - cx) + np.cos(th) * (yy - cy) + cy
+    # inverse map (to synthesize im2)
+    inv_x = np.cos(th) * (xx - cx) + np.sin(th) * (yy - cy) + cx
+    inv_y = -np.sin(th) * (xx - cx) + np.cos(th) * (yy - cy) + cy
+    _check_recovery(im1, fwd_x, fwd_y, inv_x, inv_y, radius=16, levels=2)
+
+
+def test_recovers_scale():
+    """8% zoom about center (up to ~6 px displacement at the corners)."""
+    H, W = 128, 160
+    im1 = _texture(H, W, seed=8)
+    s = 1.08
+    cy, cx = H / 2, W / 2
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+    fwd_x = s * (xx - cx) + cx
+    fwd_y = s * (yy - cy) + cy
+    inv_x = (xx - cx) / s + cx
+    inv_y = (yy - cy) / s + cy
+    _check_recovery(im1, fwd_x, fwd_y, inv_x, inv_y, radius=16, levels=2)
+
+
+def test_recovers_nonrigid_warp():
+    """Smooth sinusoidal non-rigid deformation (amplitude 3 px, wavelength
+    ~45 px) — the DAVIS deformation regime the DM contract targets
+    (para_gen.py:227-240)."""
+    H, W = 128, 160
+    im1 = _texture(H, W, seed=9)
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+    ux = 3.0 * np.sin(2 * np.pi * yy / 45.0)
+    vy = 2.5 * np.cos(2 * np.pi * xx / 50.0)
+    fwd_x = xx + ux
+    fwd_y = yy + vy
+    # inverse ≈ negative shift (amplitude ≪ wavelength, error O(amp²/λ) ≈ 0.1px)
+    inv_x = xx - 3.0 * np.sin(2 * np.pi * yy / 45.0)
+    inv_y = yy - 2.5 * np.cos(2 * np.pi * xx / 50.0)
+    _check_recovery(im1, fwd_x, fwd_y, inv_x, inv_y, radius=16, levels=2)
+
+
+def test_recovers_large_rotation_via_hypotheses():
+    """25° rotation — between the ±15°/±30° coarse hypotheses. Without them
+    the matcher collapses to ~30 wrong matches (measured: median error 30 px);
+    the hypothesis search recovers a dense correct field (DeepMatching-like
+    rotation tolerance, the DM contract of para_gen.py:227-240)."""
+    H, W = 128, 160
+    im1 = _texture(H, W, seed=10)
+    th = np.deg2rad(25.0)
+    cy, cx = H / 2, W / 2
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+    inv_x = np.cos(th) * (xx - cx) + np.sin(th) * (yy - cy) + cx
+    inv_y = -np.sin(th) * (xx - cx) + np.cos(th) * (yy - cy) + cy
+    im2 = _warp_bilinear(im1, inv_x, inv_y)
+    m = match_images(im1, im2, radius=40, levels=2, stride=4)
+    fwd_x = np.cos(th) * (xx - cx) - np.sin(th) * (yy - cy) + cx
+    fwd_y = np.sin(th) * (xx - cx) + np.cos(th) * (yy - cy) + cy
+    x1, y1 = m[:, 0].astype(int), m[:, 1].astype(int)
+    err = np.hypot(m[:, 2] - x1 - (fwd_x[y1, x1] - x1),
+                   m[:, 3] - y1 - (fwd_y[y1, x1] - y1))
+    assert len(m) > 150, len(m)
+    assert np.median(err) < 1.5, np.median(err)
+    assert (err < 2.0).mean() > 0.7, (err < 2.0).mean()
+
+
 def test_matches_feed_constraint_filter():
     """End-to-end contract: matcher tuples -> pipeline filter -> per-segment
     constraints (para_gen.py:466-479 flow)."""

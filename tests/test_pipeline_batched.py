@@ -67,6 +67,43 @@ def _make_seq(root, seq, H_, W_, n_frames=2):
         Image.fromarray(mask).save(osp.join(root, "orgMasks", seq, f"{t:05d}.png"))
 
 
+def test_sharded_matches_batched_byte_identical(tmp_path):
+    """--mode sharded over the virtual 8-device CPU mesh must produce
+    byte-identical products to --mode batched on one device: dp sharding is
+    zero-collective, each device computes whole problems with the same
+    program (the reference farm's determinism, para_gen.py:560-567)."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        import pytest
+
+        pytest.skip("needs the virtual multi-device mesh")
+    inp = str(tmp_path / "data")
+    _make_dataset(inp, n_frames=4, two_objects=True)
+    cfg = CFG._replace(backend="xla")
+    out_b = str(tmp_path / "out_batched")
+    out_s = str(tmp_path / "out_sharded")
+    main_pipeline(
+        PipelineFlags(input=inp, output=out_b, fd=1, multseg=True, seed=0,
+                      mode="batched"),
+        solver_cfg=cfg,
+    )
+    main_pipeline(
+        PipelineFlags(input=inp, output=out_s, fd=1, multseg=True, seed=0,
+                      mode="sharded"),
+        solver_cfg=cfg,
+    )
+    lst_b = open(osp.join(out_b, "all_files.list")).read().splitlines()
+    lst_s = open(osp.join(out_s, "all_files.list")).read().splitlines()
+    assert len(lst_b) == len(lst_s) == 3
+    for sub in ("Flow", "wRGB", "wMasks", "inpRGB", "inpMasks"):
+        for root, _, files in os.walk(osp.join(out_b, sub)):
+            for f in files:
+                pb = osp.join(root, f)
+                ps = pb.replace(out_b, out_s)
+                assert open(pb, "rb").read() == open(ps, "rb").read(), pb
+
+
 def test_batched_mixed_resolutions(tmp_path):
     """Without --size, one batched chunk can span sequences of different
     resolutions; the batched matcher must group by shape instead of aborting
