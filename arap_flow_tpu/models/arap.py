@@ -37,10 +37,23 @@ class DeformResult:
     state: np.ndarray | None = None  # (3, H, W) warp positions + angle
 
 
+def _expand(ops):
+    """Trace-time adapter: CompactOperands expand on device inside the jitted
+    program (fewer H2D bytes); full ArapOperands pass through."""
+    if isinstance(ops, E.CompactOperands):
+        return E.expand_operands(ops)
+    return ops
+
+
+def _to_f32(rgb):
+    """u8 RGB uploads (4× less H2D) cast on device; f32 passes through."""
+    return rgb.astype(jnp.float32) if rgb.dtype != jnp.float32 else rgb
+
+
 @partial(jax.jit, static_argnames=("static_key",))
-def _solve_and_raster_impl(
-    ops: E.ArapOperands, rgb_f: jnp.ndarray, dyn, static_key
-):
+def _solve_and_raster_impl(ops, rgb, dyn, static_key):
+    ops = _expand(ops)
+    rgb_f = _to_f32(rgb)
     cfg = S._rebuild_config(dyn, static_key)
     x = S.anneal_solve(ops, cfg)
     flow = S.flow_from_state(x, ops)
@@ -50,21 +63,32 @@ def _solve_and_raster_impl(
     return x, flow, wrgb.astype(jnp.uint8), wmask.astype(jnp.uint8)
 
 
-@jax.jit
-def _raster_from_state(x, rgb_f, mask):
-    flow = x[:2] - E.make_grid(*mask.shape)
-    wrgb, wmask = R.rasterize(x[:2], rgb_f, 1.0 - mask)
-    return flow, wrgb.astype(jnp.uint8), wmask.astype(jnp.uint8)
+@partial(jax.jit, static_argnames=("static_key",))
+def _fused_solve_raster_impl(ops, rgb, dyn, static_key):
+    from ..ops.pallas_solver import anneal_solve_fused
+
+    ops = _expand(ops)
+    cfg = S._rebuild_config(dyn, static_key)
+    x = anneal_solve_fused(ops, cfg)
+    flow = S.flow_from_state(x, ops)
+    wrgb, wmask = R.rasterize(x[:2], _to_f32(rgb), 1.0 - ops.mask)
+    return x, flow, wrgb.astype(jnp.uint8), wmask.astype(jnp.uint8)
+
+
+def _mask_shape(ops):
+    return (ops.mask_u8 if isinstance(ops, E.CompactOperands) else ops.mask).shape
 
 
 def _solve_and_raster(ops, rgb_f, cfg: SolverConfig):
     cfg = cfg.resolve()
-    if S._use_fused(ops, cfg):
-        from ..ops.pallas_solver import anneal_solve_fused
+    if cfg.backend == "fused":
+        from ..ops.pallas_solver import fits_vmem
 
-        x = anneal_solve_fused(ops, cfg)
-        flow, wrgb, wmask = _raster_from_state(x, rgb_f, ops.mask)
-        return x, flow, wrgb, wmask
+        H, W = _mask_shape(ops)
+        if (float(cfg.q_tolerance) == 0.0 and float(cfg.rz_tolerance) == 0.0
+                and fits_vmem(H, W)):
+            return _fused_solve_raster_impl(ops, rgb_f, cfg.dynamic,
+                                            cfg.static_key)
     return _solve_and_raster_impl(ops, rgb_f, cfg.dynamic, cfg.static_key)
 
 
@@ -176,9 +200,9 @@ class ArapDeformer:
         if self.crop:
             return self._deform_cropped(rgb, arap_mask, cons)
 
-        ops = E.build_operands(np.asarray(arap_mask), cons, self.weights)
-        rgb_f = jnp.asarray(rgb.transpose(2, 0, 1), jnp.float32)
-        x, flow, wrgb, wmask = _solve_and_raster(ops, rgb_f, self.cfg)
+        ops = E.build_compact(np.asarray(arap_mask), cons, self.weights)
+        rgb_u8 = jnp.asarray(np.ascontiguousarray(rgb.transpose(2, 0, 1)))
+        x, flow, wrgb, wmask = _solve_and_raster(ops, rgb_u8, self.cfg)
         return DeformResult(
             flow=np.asarray(flow).transpose(1, 2, 0),
             warped_rgb=np.asarray(wrgb).transpose(1, 2, 0).astype(np.uint8),
@@ -220,9 +244,9 @@ class ArapDeformer:
         )
         shifted = shifted[inside]
 
-        ops = E.build_operands(sub_mask, shifted, self.weights)
-        rgb_f = jnp.asarray(sub_rgb.transpose(2, 0, 1), jnp.float32)
-        x, flow, wrgb, wmask = _solve_and_raster(ops, rgb_f, self.cfg)
+        ops = E.build_compact(sub_mask, shifted, self.weights)
+        rgb_u8 = jnp.asarray(np.ascontiguousarray(sub_rgb.transpose(2, 0, 1)))
+        x, flow, wrgb, wmask = _solve_and_raster(ops, rgb_u8, self.cfg)
 
         full_flow = np.zeros((H, W, 2), np.float32)
         full_flow[y0 : y0 + h, x0 : x0 + w] = np.asarray(flow).transpose(1, 2, 0)
@@ -260,16 +284,17 @@ def deform(
 
 
 @partial(jax.jit, static_argnames=("static_key",))
-def _solve_and_raster_batch_impl(ops, rgb_f, dyn, static_key):
+def _solve_and_raster_batch_impl(ops, rgb, dyn, static_key):
     cfg = S._rebuild_config(dyn, static_key)
 
     def one(o, r):
+        o = _expand(o)
         x = S.anneal_solve(o, cfg)
         flow = S.flow_from_state(x, o)
-        wrgb, wmask = R.rasterize(x[:2], r, 1.0 - o.mask)
+        wrgb, wmask = R.rasterize(x[:2], _to_f32(r), 1.0 - o.mask)
         return x, flow, wrgb.astype(jnp.uint8), wmask.astype(jnp.uint8)
 
-    return jax.vmap(one)(ops, rgb_f)
+    return jax.vmap(one)(ops, rgb)
 
 
 def solve_and_raster_batch(ops_batched, rgb_batched, cfg: SolverConfig,

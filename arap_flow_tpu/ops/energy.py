@@ -167,6 +167,84 @@ def build_operands(
     )
 
 
+class CompactOperands(NamedTuple):
+    """Upload-efficient problem encoding.
+
+    On hosts where device transfer is the bottleneck (this platform's tunnel
+    moves ~25 MB/s), shipping the full ArapOperands (16 f32 planes) costs more
+    than the solve itself. Only the true data ships — everything else is
+    derived on device by expand_operands inside the jitted solve program:
+
+    mask_u8:     (H, W) uint8 raw ARAP mask (0 = solve region).
+    con_tgt_i16: (2, H, W) int16 constraint target (x2, y2) per source pixel;
+                 NO_CONSTRAINT (int16 min) = no constraint. Targets may be
+                 legitimately negative after crop shifting, hence the extreme
+                 sentinel.
+    wf2 / wr2:   0-d float32 energy weights.
+
+    8 bytes/pixel (with a u8 RGB plane) vs the expanded form's ~64 — ~8×
+    less H2D per problem.
+    """
+
+    mask_u8: jnp.ndarray
+    con_tgt_i16: jnp.ndarray
+    wf2: jnp.ndarray
+    wr2: jnp.ndarray
+
+
+NO_CONSTRAINT = -32768  # int16 min
+
+
+def build_compact(
+    arap_mask, constraints, weights: ArapWeights = ArapWeights()
+) -> CompactOperands:
+    """Host-side compact encoding. expand_operands(build_compact(m, c))
+    equals build_operands(m, c) on every fitmask-active pixel and on all
+    gating planes — constraint values on inactive pixels differ (zeros vs raw
+    file values) but are unread by construction (tests/test_energy.py checks
+    both the planes and bitwise solve equality)."""
+    import numpy as _np
+
+    arap_mask = _np.ascontiguousarray(arap_mask, dtype=_np.uint8)
+    H, W = arap_mask.shape
+    tgt = _np.full((2, H, W), NO_CONSTRAINT, _np.int16)
+    constraints = _np.asarray(constraints, _np.int64).reshape(-1, 4)
+    if constraints.shape[0]:
+        x1, y1, x2, y2 = (constraints[:, k] for k in range(4))
+        # later duplicates win (reference sequential overwrite,
+        # CombinedSolver.h:230-239)
+        tgt[0, y1, x1] = x2
+        tgt[1, y1, x1] = y2
+    return CompactOperands(
+        mask_u8=jnp.asarray(arap_mask),
+        con_tgt_i16=jnp.asarray(tgt),
+        wf2=jnp.asarray(_np.float32(weights.w_fit)),
+        wr2=jnp.asarray(_np.float32(weights.w_reg)),
+    )
+
+
+def expand_operands(c: CompactOperands) -> ArapOperands:
+    """Derive the full ArapOperands on device (call INSIDE the jitted solve
+    program — the derived planes never leave the device, and keeping the
+    jitted inputs as fresh host uploads preserves executable-cache hits)."""
+    H, W = c.mask_u8.shape
+    m = (c.mask_u8 == 0).astype(jnp.float32)
+    vmasks = jnp.stack([m * shift(m, dy, dx) for dy, dx in DIRS])
+    grid = make_grid(H, W)
+    fit = (c.con_tgt_i16[0] != NO_CONSTRAINT).astype(jnp.float32) * m
+    return ArapOperands(
+        mask=m,
+        vmasks=vmasks,
+        degree=vmasks.sum(0),
+        con_src=grid * fit,
+        con_tgt=c.con_tgt_i16.astype(jnp.float32) * fit,
+        fitmask=fit,
+        grid=grid,
+        wf2=c.wf2,
+        wr2=c.wr2,
+    )
+
+
 def anneal_constraints(ops: ArapOperands, alpha) -> jnp.ndarray:
     """Annealed constraint image: lerp source → target by alpha ∈ (0, 1].
 

@@ -16,9 +16,18 @@ TPU-native coarse-to-fine normalized-cross-correlation pyramid:
    track (measured: a 25° rotation collapses the 0-hypothesis matcher to ~30
    wrong matches; with hypotheses the field is recovered);
 3. at each finer level, the upsampled flow warps image 2 (one bilinear gather),
-   then a ±2 static-offset NCC search refines the estimate;
+   then a ±2 static-offset NCC search refines the estimate (optionally
+   iterated: `refine_passes` re-warps at the improved estimate);
 4. forward-backward consistency and a minimum-NCC threshold select matches on
    a regular grid (DM emits a quasi-regular grid as well).
+
+Defaults patch=12 / levels=3 are calibrated on the cat512 fixture's extreme
+non-rigid warp (96 px marker displacements): vs the shipped golden flow the
+matched displacements go from median 7.1 px error / 5 surviving matches at
+patch=8, levels=4 to median 1.4 px / 55 matches (scripts/matcher_ab.py
+measures the full through-solve A/B). The larger patch carries more context
+through the per-level z-scored NCC; the level cap (≥3 patches across the
+coarsest level) then bounds levels at typical frame sizes anyway.
 
 The downstream constraint filter (io.constraints.filter_matches, parity with
 para_gen.py:216-223) is unchanged, so matcher differences are forgiven by the
@@ -154,10 +163,11 @@ def _pyramid_flow_impl(
     g1: jnp.ndarray,
     g2: jnp.ndarray,
     radius: int = 100,
-    patch: int = 8,
-    levels: int = 4,
+    patch: int = 12,
+    levels: int = 3,
     refine_radius: int = 2,
     rotations: tuple = (0.0,),
+    refine_passes: int = 1,
 ):
     """Dense coarse-to-fine NCC flow estimate (trace-level implementation).
 
@@ -223,29 +233,38 @@ def _pyramid_flow_impl(
             u = jnp.pad(u, ((0, H - u.shape[0]), (0, W - u.shape[1])), mode="edge")
             v = jnp.pad(v, ((0, H - v.shape[0]), (0, W - v.shape[1])), mode="edge")
         gx, gy = _grid(H, W)
-        w2 = _bilinear(pyr2[lvl], gx + u, gy + v)
         z1l = _zscore(pyr1[lvl], patch)
-        z2l = _zscore(w2, patch)
-        du, dv, score = _search(z1l, z2l, refine_radius, patch)
-        u = u + du
-        v = v + dv
+        # iterated warp-and-search: when the upsampled estimate is off by
+        # more than refine_radius (large non-rigid deformation), each pass
+        # re-warps at the improved estimate and recovers another
+        # ±refine_radius — cheap (the search window is tiny) and measurably
+        # tightens large-warp matching
+        for _ in range(refine_passes):
+            w2 = _bilinear(pyr2[lvl], gx + u, gy + v)
+            z2l = _zscore(w2, patch)
+            du, dv, score = _search(z1l, z2l, refine_radius, patch)
+            u = u + du
+            v = v + dv
 
     return jnp.stack([u, v]), score
 
 
 @partial(jax.jit, static_argnames=("radius", "patch", "levels",
-                                   "refine_radius", "rotations"))
-def pyramid_flow(g1, g2, radius: int = 100, patch: int = 8, levels: int = 4,
-                 refine_radius: int = 2, rotations: tuple = (0.0,)):
+                                   "refine_radius", "rotations",
+                                   "refine_passes"))
+def pyramid_flow(g1, g2, radius: int = 100, patch: int = 12, levels: int = 3,
+                 refine_radius: int = 2, rotations: tuple = (0.0,),
+                 refine_passes: int = 1):
     return _pyramid_flow_impl(g1, g2, radius, patch, levels, refine_radius,
-                              rotations)
+                              rotations, refine_passes)
 
 
 @partial(jax.jit, static_argnames=("radius", "patch", "levels",
-                                   "refine_radius", "rotations"))
-def pyramid_flow_bidir(g1, g2, radius: int = 100, patch: int = 8,
-                       levels: int = 4, refine_radius: int = 2,
-                       rotations: tuple = (0.0,)):
+                                   "refine_radius", "rotations",
+                                   "refine_passes"))
+def pyramid_flow_bidir(g1, g2, radius: int = 100, patch: int = 12,
+                       levels: int = 3, refine_radius: int = 2,
+                       rotations: tuple = (0.0,), refine_passes: int = 1):
     """Forward and backward flow in ONE compiled program (vmapped pair) —
     halves matcher compiles and dispatches. `rotations` must be a symmetric
     set (the backward direction sees the inverse rotation)."""
@@ -253,7 +272,8 @@ def pyramid_flow_bidir(g1, g2, radius: int = 100, patch: int = 8,
     b = jnp.stack([g2, g1])
     return jax.vmap(
         lambda x, y: _pyramid_flow_impl(x, y, radius, patch, levels,
-                                        refine_radius, rotations)
+                                        refine_radius, rotations,
+                                        refine_passes)
     )(a, b)
 
 
@@ -262,10 +282,12 @@ DEFAULT_ROTATIONS = (0.0, 0.2618, -0.2618, 0.5236, -0.5236)
 
 
 @partial(jax.jit, static_argnames=("radius", "patch", "levels",
-                                   "refine_radius", "rotations"))
-def match_fields(rgb1, rgb2, radius: int = 100, patch: int = 8,
-                 levels: int = 4, refine_radius: int = 2,
-                 rotations: tuple = DEFAULT_ROTATIONS):
+                                   "refine_radius", "rotations",
+                                   "refine_passes"))
+def match_fields(rgb1, rgb2, radius: int = 100, patch: int = 12,
+                 levels: int = 3, refine_radius: int = 2,
+                 rotations: tuple = DEFAULT_ROTATIONS,
+                 refine_passes: int = 1):
     """Gray conversion + bidirectional pyramid flow in one program.
 
     Takes (3, H, W) float32 RGB directly off the host: jitted inputs must be
@@ -276,19 +298,21 @@ def match_fields(rgb1, rgb2, radius: int = 100, patch: int = 8,
     g1, g2 = to_gray(rgb1), to_gray(rgb2)
     return pyramid_flow_bidir(g1, g2, radius=radius, patch=patch,
                               levels=levels, refine_radius=refine_radius,
-                              rotations=rotations)
+                              rotations=rotations,
+                              refine_passes=refine_passes)
 
 
 def match_images_batched(
     pairs: list,
     radius: int = 100,
     stride: int = 4,
-    patch: int = 8,
-    levels: int = 4,
+    patch: int = 12,
+    levels: int = 3,
     fb_threshold: float = 1.5,
     score_threshold: float = 0.3,
     chunk: int = 4,
     rotations: tuple = None,
+    refine_passes: int = 1,
 ) -> list:
     """Batched matching over many (rgb1, rgb2) pairs of identical shape.
 
@@ -306,12 +330,14 @@ def match_images_batched(
     radius = min(radius, min_dim)
 
     @partial(jax.jit, static_argnames=("radius", "patch", "levels",
-                                       "rotations"))
-    def run_chunk(rgb1s, rgb2s, radius, patch, levels, rotations):
+                                       "rotations", "refine_passes"))
+    def run_chunk(rgb1s, rgb2s, radius, patch, levels, rotations,
+                  refine_passes):
         def one(r1, r2):
             g1, g2 = to_gray(r1), to_gray(r2)
             return pyramid_flow_bidir(g1, g2, radius=radius, patch=patch,
-                                      levels=levels, rotations=rotations)
+                                      levels=levels, rotations=rotations,
+                                      refine_passes=refine_passes)
 
         return jax.vmap(one)(rgb1s, rgb2s)
 
@@ -330,7 +356,7 @@ def match_images_batched(
                         jnp.float32) for b in batch
         ])
         flows_b, scores_b = run_chunk(r1, r2, radius, patch, levels,
-                              rotations)
+                              rotations, refine_passes)
         flows_b = np.asarray(flows_b)
         scores_b = np.asarray(scores_b)
         for i in range(n_real):
@@ -343,10 +369,76 @@ def match_images_batched(
     return out
 
 
+def _coherence_keep(keep_grid, u_grid, v_grid, tol=4.0, rel=0.2, rad=3,
+                    min_nbrs=3):
+    """Local-coherence outlier rejection on the stride grid.
+
+    ARAP motion is locally near-rigid by construction, so a match whose
+    displacement deviates from its neighborhood median by more than
+    tol + rel·|median| is matcher noise (DeepMatching performs equivalent
+    pruning inside its correlation pyramid). Measured on the cat512 golden
+    warp: max match error 99.5 px -> 6.6 px at unchanged median. Vectorised:
+    the neighborhood is the (2·rad+1)² grid window; cells with fewer than
+    min_nbrs valid neighbors are kept (nothing to judge against).
+    """
+    gh, gw = keep_grid.shape
+    uu = np.where(keep_grid, u_grid, np.nan)
+    vv = np.where(keep_grid, v_grid, np.nan)
+    stacks_u, stacks_v = [], []
+    pad_u = np.pad(uu, rad, constant_values=np.nan)
+    pad_v = np.pad(vv, rad, constant_values=np.nan)
+    for dy in range(-rad, rad + 1):
+        for dx in range(-rad, rad + 1):
+            if dy == 0 and dx == 0:
+                continue
+            stacks_u.append(pad_u[rad + dy : rad + dy + gh,
+                                  rad + dx : rad + dx + gw])
+            stacks_v.append(pad_v[rad + dy : rad + dy + gh,
+                                  rad + dx : rad + dx + gw])
+    su = np.stack(stacks_u)
+    sv = np.stack(stacks_v)
+    nbrs = np.isfinite(su).sum(0)
+    import warnings as _warnings
+
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN windows
+        med_u = np.nanmedian(su, axis=0)
+        med_v = np.nanmedian(sv, axis=0)
+    dev = np.hypot(uu - med_u, vv - med_v)
+    lim = tol + rel * np.hypot(med_u, med_v)
+    ok = (nbrs < min_nbrs) | (dev <= lim)  # dev<=lim is False on NaN
+    return keep_grid & ok
+
+
+def _knn_coherence(xs, ys, u, v, keep, k=6, tol=4.0, rel=0.2):
+    """Exact k-nearest-neighbor coherence pass for sparse match sets (same
+    deviation rule as _coherence_keep). O(n²) on the kept set — used only
+    when n ≤ 4000."""
+    idx = np.where(keep)[0]
+    n = len(idx)
+    if n <= k:
+        return keep
+    sx, sy = xs[idx].astype(np.float64), ys[idx].astype(np.float64)
+    du, dv = u[idx], v[idx]
+    d2 = (sx[:, None] - sx[None, :]) ** 2 + (sy[:, None] - sy[None, :]) ** 2
+    np.fill_diagonal(d2, np.inf)
+    nbr = np.argpartition(d2, k, axis=1)[:, :k]
+    med_u = np.median(du[nbr], axis=1)
+    med_v = np.median(dv[nbr], axis=1)
+    dev = np.hypot(du - med_u, dv - med_v)
+    ok = dev <= tol + rel * np.hypot(med_u, med_v)
+    out = keep.copy()
+    out[idx[~ok]] = False
+    return out
+
+
 def _select_matches(fwd, bwd, score, H, W, stride, fb_threshold,
-                    score_threshold, radius):
-    """Grid sampling + forward-backward + score selection (shared host post)."""
+                    score_threshold, radius, coherence: bool = True):
+    """Grid sampling + forward-backward + score selection (shared host post),
+    then two local-coherence passes (the median stabilises after the first
+    cleanup)."""
     ys, xs = np.mgrid[stride // 2 : H : stride, stride // 2 : W : stride]
+    gh, gw = ys.shape
     ys, xs = ys.ravel(), xs.ravel()
     u = fwd[0, ys, xs]
     v = fwd[1, ys, xs]
@@ -362,6 +454,20 @@ def _select_matches(fwd, bwd, score, H, W, stride, fb_threshold,
         & (x2 >= 0) & (x2 < W) & (y2 >= 0) & (y2 < H)
         & (np.hypot(u, v) <= radius)
     )
+    if coherence:
+        if keep.sum() <= 4000:
+            # sparse set (weakly textured / hard pair): exact k-nearest
+            # medians — a fixed grid window around an isolated match holds
+            # too few neighbors to judge it
+            for _ in range(2):
+                keep = _knn_coherence(xs, ys, u, v, keep)
+        else:
+            kg = keep.reshape(gh, gw)
+            ug = u.reshape(gh, gw)
+            vg = v.reshape(gh, gw)
+            for _ in range(2):
+                kg = _coherence_keep(kg, ug, vg)
+            keep = kg.ravel()
     return np.stack(
         [xs[keep], ys[keep], np.round(x2[keep]), np.round(y2[keep]), sc[keep]],
         axis=1,
@@ -373,11 +479,12 @@ def match_images(
     rgb2: np.ndarray,
     radius: int = 100,
     stride: int = 4,
-    patch: int = 8,
-    levels: int = 4,
+    patch: int = 12,
+    levels: int = 3,
     fb_threshold: float = 1.5,
     score_threshold: float = 0.3,
     rotations: tuple = None,
+    refine_passes: int = 1,
 ) -> np.ndarray:
     """Sparse matches between two (H, W, 3) uint8 images.
 
@@ -401,7 +508,8 @@ def match_images(
         rotations = DEFAULT_ROTATIONS
     _t0 = _time.time()
     flows, scores = match_fields(j1, j2, radius=radius, patch=patch,
-                                 levels=levels, rotations=rotations)
+                                 levels=levels, rotations=rotations,
+                                 refine_passes=refine_passes)
     flows = np.asarray(flows)
     fwd, bwd = flows[0], flows[1]
     score = np.asarray(scores[0])

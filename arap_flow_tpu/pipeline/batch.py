@@ -26,6 +26,23 @@ from ..ops.solver import SolverConfig
 DEFAULT_BUCKETS = ((128, 256), (256, 384), (256, 512), (384, 640), (512, 896))
 
 
+def max_chunk_for(bucket: tuple, n_data: int = 1) -> int:
+    """Largest batch of this bucket shape fitting the kernel VMEM budget.
+
+    Measured scaling (hardware, 400-iter PCG): 15.9 -> 5.2 ms/problem from
+    B=3 to B=8 at 256x384; 2.1 ms/problem at B=24, 128x256; 13.4 at B=3,
+    384x640 — the interleaved dependency chains hide each other's latency,
+    so fill VMEM. Cap 24: compile time grows with the per-problem unroll.
+    `n_data` (sharded runs) multiplies the global batch: the budget is
+    per device.
+    """
+    from ..ops.solver import _BATCH_KERNEL_PLANES, _BATCH_KERNEL_VMEM
+
+    bh, bw = bucket
+    per_problem = _BATCH_KERNEL_PLANES * bh * bw * 4
+    return n_data * max(1, min(24, _BATCH_KERNEL_VMEM // per_problem))
+
+
 @dataclass
 class SegmentTask:
     """One segment solve request (frame-pair index, segment id, crop)."""
@@ -37,7 +54,7 @@ class SegmentTask:
     x0: int
     bucket: tuple
     ops: E.ArapOperands
-    rgb: jnp.ndarray  # (3, h, w) cropped float32
+    rgb: jnp.ndarray  # (3, h, w) cropped uint8 (device-cast to f32)
 
 
 def make_task(
@@ -85,7 +102,9 @@ def make_task(
         (shifted[:, 0] >= 0) & (shifted[:, 0] < bw)
         & (shifted[:, 1] >= 0) & (shifted[:, 1] < bh)
     )
-    ops = E.build_operands(sub_mask, shifted[inside], weights)
+    # compact operands + u8 RGB: ~8x less H2D per task (the expansion runs
+    # on device inside the jitted solve program, models/arap.py:_expand)
+    ops = E.build_compact(sub_mask, shifted[inside], weights)
     return SegmentTask(
         pair_idx=pair_idx,
         seg_id=seg_id,
@@ -94,7 +113,7 @@ def make_task(
         x0=x0,
         bucket=bucket,
         ops=ops,
-        rgb=jnp.asarray(sub_rgb.transpose(2, 0, 1), jnp.float32),
+        rgb=jnp.asarray(np.ascontiguousarray(sub_rgb.transpose(2, 0, 1))),
     )
 
 
@@ -126,24 +145,9 @@ def run_tasks(
     for t in tasks:
         groups.setdefault(t.bucket, []).append(t)
 
-    from ..ops.solver import _BATCH_KERNEL_PLANES, _BATCH_KERNEL_VMEM
-
-    def max_chunk(bucket):
-        """Largest batch of this bucket shape fitting the kernel VMEM budget.
-
-        Measured scaling (hardware, 400-iter PCG): 15.9 -> 5.2 ms/problem from
-        B=3 to B=8 at 256x384; 2.1 ms/problem at B=24, 128x256; 13.4 at B=3,
-        384x640 — the interleaved dependency chains hide each other's latency,
-        so fill VMEM. Cap 24: compile time grows with the per-problem unroll.
-        """
-        bh, bw = bucket
-        per_problem = _BATCH_KERNEL_PLANES * bh * bw * 4
-        # per-DEVICE VMEM budget; sharding multiplies the global batch
-        return n_data * max(1, min(24, _BATCH_KERNEL_VMEM // per_problem))
-
     chunked = []
     for bucket, group in groups.items():
-        step = max_chunk(bucket)
+        step = max_chunk_for(bucket, n_data)
         for i in range(0, len(group), step):
             chunk_tasks = group[i : i + step]
             n_real = len(chunk_tasks)
@@ -199,9 +203,9 @@ def run_tasks(
                 )
 
     for pair_idx, seg_id, rgb, arap_mask, cons in fallbacks:
-        ops = E.build_operands(np.asarray(arap_mask), cons)
-        rgb_f = jnp.asarray(rgb.transpose(2, 0, 1), jnp.float32)
-        _, flow, wrgb, wmask = _solve_and_raster(ops, rgb_f, cfg)
+        ops = E.build_compact(np.asarray(arap_mask), cons)
+        rgb_u8 = jnp.asarray(np.ascontiguousarray(rgb.transpose(2, 0, 1)))
+        _, flow, wrgb, wmask = _solve_and_raster(ops, rgb_u8, cfg)
         out[(pair_idx, seg_id)] = DeformResult(
             flow=np.asarray(flow).transpose(1, 2, 0),
             warped_rgb=np.asarray(wrgb).transpose(1, 2, 0).astype(np.uint8),

@@ -48,17 +48,95 @@ def parse_list_file(path) -> list[FramePaths]:
     return frames
 
 
-def deform_frames(frames: list[FramePaths], cfg: SolverConfig) -> None:
+def deform_frames(frames: list[FramePaths], cfg: SolverConfig,
+                  batch: bool = True) -> None:
+    """Deform a list of frames, writing .flo + warped RGB/mask per frame.
+
+    Where the reference's list mode merely reuses one compiled plan across
+    same-size frames (CombinedSolver.h:149-160), here same-shape frames are
+    additionally solved as ONE batched device program (one dispatch and one
+    D2H round-trip per chunk instead of per frame). Ragged shapes fall back
+    to per-frame solves, which still share jit programs per shape."""
+    if batch and len(frames) > 1:
+        if _deform_frames_batched(frames, cfg):
+            return
     deformer = ArapDeformer(cfg)
     for fr in frames:
         rgb = load_rgb(fr.rgb)
         mask = load_mask(fr.mask)
         cons = read_constraint_file(fr.cstr)
         res = deformer.deform(rgb, mask, cons)
-        flo.flow_write(fr.out_flo, res.flow)
-        save_image(fr.out_rgb, res.warped_rgb)
-        save_image(fr.out_mask, res.warped_mask)
-        print("Saved")
+        _write_result(fr, res)
+
+
+def _write_result(fr: FramePaths, res) -> None:
+    flo.flow_write(fr.out_flo, res.flow)
+    save_image(fr.out_rgb, res.warped_rgb)
+    save_image(fr.out_mask, res.warped_mask)
+    print("Saved")
+
+
+def _deform_frames_batched(frames: list[FramePaths], cfg: SolverConfig) -> bool:
+    """Batched full-frame path: group frames by shape, solve each group with
+    solve_and_raster_batch in VMEM-bounded chunks. Returns False if nothing
+    batches (caller runs the serial path)."""
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..io.constraints import add_border_pins
+    from ..models.arap import DeformResult, solve_and_raster_batch
+    from ..ops import energy as E
+    from ..ops.solver import _BATCH_KERNEL_PLANES, _BATCH_KERNEL_VMEM
+
+    loaded = []
+    groups: dict[tuple, list[int]] = {}
+    for i, fr in enumerate(frames):
+        rgb = load_rgb(fr.rgb)
+        mask = load_mask(fr.mask)
+        cons = read_constraint_file(fr.cstr)
+        loaded.append((rgb, mask, cons))
+        groups.setdefault(mask.shape, []).append(i)
+
+    if all(len(idx) < 2 for idx in groups.values()):
+        return False
+
+    deformer = ArapDeformer(cfg)
+    for shape, idxs in groups.items():
+        if len(idxs) < 2:
+            fr = frames[idxs[0]]
+            rgb, mask, cons = loaded[idxs[0]]
+            _write_result(fr, deformer.deform(rgb, mask, cons))
+            continue
+        H, W = shape
+        step = max(1, min(24, _BATCH_KERNEL_VMEM
+                          // (_BATCH_KERNEL_PLANES * H * W * 4)))
+        for c0 in range(0, len(idxs), step):
+            chunk = idxs[c0 : c0 + step]
+            ops = []
+            rgbs = []
+            for i in chunk:
+                rgb, mask, cons = loaded[i]
+                cons = add_border_pins(
+                    np.asarray(cons, np.int32).reshape(-1, 4), W, H)
+                ops.append(E.build_compact(mask, cons))
+                rgbs.append(jnp.asarray(
+                    np.ascontiguousarray(rgb.transpose(2, 0, 1))))
+            batched = jax.tree.map(lambda *ls: jnp.stack(ls), *ops)
+            _, flows, wrgbs, wmasks = solve_and_raster_batch(
+                batched, jnp.stack(rgbs), cfg)
+            flows = np.asarray(flows)
+            wrgbs = np.asarray(wrgbs)
+            wmasks = np.asarray(wmasks)
+            for j, i in enumerate(chunk):
+                res = DeformResult(
+                    flow=flows[j].transpose(1, 2, 0),
+                    warped_rgb=wrgbs[j].transpose(1, 2, 0).astype(np.uint8),
+                    warped_mask=wmasks[j].astype(np.uint8),
+                )
+                _write_result(frames[i], res)
+    return True
 
 
 def make_config(schedule: str) -> SolverConfig:

@@ -88,6 +88,7 @@ class PipelineFlags:
     schedule: str = "parity"  # parity | fast
     seed: int | None = None
     mode: str = "simple"  # simple (per-pair) | batched (bucketed cross-pair)
+    warmup: bool = False  # compile the standard bucket programs up front
 
 
 def scale_rotate(im: Image.Image, mk: Image.Image, size):
@@ -532,6 +533,44 @@ def process_chunk_batched(
 
 
 
+def prewarm(cfg, weights, buckets=None, batched: bool = True) -> None:
+    """Compile the standard bucket solver programs on dummy problems before
+    the first real pair arrives (--warmup). One-time XLA/Mosaic compiles cost
+    40-300 s each on cold caches; prewarming moves them ahead of the
+    pipeline's timed/streamed phase. Covers the batched kernel at each
+    bucket's standard chunk size (batched/sharded mode) or the per-problem
+    program (simple mode)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ..io.constraints import add_border_pins
+    from ..models.arap import solve_and_raster_batch, _solve_and_raster
+    from ..ops import energy as E
+    from .batch import DEFAULT_BUCKETS, max_chunk_for
+
+    t_all = time.time()
+    for bh, bw in buckets or DEFAULT_BUCKETS:
+        t0 = time.time()
+        mask = np.full((bh, bw), 255, np.uint8)
+        mask[8 : bh - 8, 8 : bw - 8] = 0
+        cons = add_border_pins(
+            np.array([[bw // 2, bh // 2, bw // 2 + 2, bh // 2 + 1]], np.int32),
+            bw, bh,
+        )
+        ops = E.build_compact(mask, cons, weights)
+        rgb = jnp.zeros((3, bh, bw), jnp.uint8)
+        if batched:
+            B = max_chunk_for((bh, bw), 1)
+            b_ops = jax.tree.map(lambda l: jnp.stack([l] * B), ops)
+            out = solve_and_raster_batch(
+                b_ops, jnp.stack([rgb] * B), cfg)
+        else:
+            out = _solve_and_raster(ops, rgb, cfg)
+        jax.block_until_ready(out[1])
+        print(f"warmup {bh}x{bw}: {time.time() - t0:.1f}s", flush=True)
+    print(f"warmup done in {time.time() - t_all:.1f}s", flush=True)
+
+
 def make_solver_config(schedule: str) -> SolverConfig:
     if schedule == "parity":
         return SolverConfig()
@@ -551,6 +590,9 @@ def main_pipeline(
 
     pairs = scan_pairs(flags)
     print(f"{len(pairs)} frame pairs to process")
+    if flags.warmup and pairs:
+        prewarm(deformer.cfg, deformer.weights,
+                batched=flags.mode in ("batched", "sharded"))
     triples = []
     begin = time.time()
 
@@ -673,6 +715,10 @@ def parse_args(argv=None) -> PipelineFlags:
                         "additionally shards bucket batches over all visible "
                         "devices ('data' mesh axis)")
     parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--warmup", action="store_true",
+                        help="compile the standard bucket solver programs "
+                        "before processing (hides the one-time XLA/Mosaic "
+                        "compiles on cold caches)")
     a = parser.parse_args(argv)
     assert 0 < a.fd < 20, "Invalid fd number!"
     return PipelineFlags(
@@ -690,6 +736,7 @@ def parse_args(argv=None) -> PipelineFlags:
         schedule=a.schedule,
         seed=a.seed,
         mode=a.mode,
+        warmup=a.warmup,
     )
 
 

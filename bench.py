@@ -77,12 +77,13 @@ def main():
     deformer = ArapDeformer(cfg)
     rgb0, mask0, cons0 = problems[0]
     deformer.deform(rgb0, mask0, cons0)  # compile
-    t_base = float("inf")
-    for _ in range(2):  # best of 2: give the baseline its best platform run
+    base_times = []
+    for _ in range(3):  # median of 3, symmetric with the "ours" arm
         t0 = time.time()
         for rgb, mask, cons in problems:  # all pairs, sequentially
             deformer.deform(rgb, mask, cons)
-        t_base = min(t_base, time.time() - t0)
+        base_times.append(time.time() - t0)
+    t_base = sorted(base_times)[1]
     base_pairs_per_s = N_PAIRS / t_base
 
     # ---- ours: bucket-aligned crops (exact), multi-problem resident kernel ----
@@ -132,6 +133,7 @@ def main():
                 "unit": "pairs/s/chip",
                 "vs_baseline": round(ours_pairs_per_s / base_pairs_per_s, 2),
                 "runs_s": [round(t, 3) for t in times],
+                "baseline_runs_s": [round(t, 3) for t in base_times],
                 "baseline_pairs_per_s": round(base_pairs_per_s, 3),
                 "stage_s_per_pair": breakdown,
             }

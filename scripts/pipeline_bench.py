@@ -64,9 +64,11 @@ def main():
     shutil.rmtree(root, ignore_errors=True)
     make_dataset(osp.join(root, "data"), n_pairs + 1)
 
-    for mode in ("simple", "simple2"):
-        out = osp.join(root, f"out_{mode}")
-        mode = "simple" if mode.startswith("simple") else mode
+    # each mode runs twice: first pass pays (or cache-hits) the compiles,
+    # second pass is the warm steady-state number
+    for mode, run in (("simple", "cold"), ("simple", "warm"),
+                      ("batched", "cold"), ("batched", "warm")):
+        out = osp.join(root, f"out_{mode}_{run}")
         flags = PipelineFlags(
             input=osp.join(root, "data"), output=out, fd=1, multseg=True,
             seed=0, mode=mode,
@@ -74,9 +76,8 @@ def main():
         t0 = time.time()
         triples = main_pipeline(flags)
         t = time.time() - t0
-        # second run = resume (measures scan cost only)
         print(
-            f"mode={mode}: {len(triples)} pairs in {t:.1f}s "
+            f"mode={mode} ({run}): {len(triples)} pairs in {t:.1f}s "
             f"-> {len(triples) / t:.3f} pairs/s end-to-end",
             flush=True,
         )

@@ -102,3 +102,47 @@ def test_fit_term_value():
     cimg = E.anneal_constraints(ops, 1.0)
     # o = (3,2), c = (5,4): ½·100·(4+4) = 400
     np.testing.assert_allclose(float(E.cost(x, ops, cimg)), 400.0, rtol=1e-6)
+
+
+def test_compact_operands_match_full():
+    """expand_operands(build_compact(...)) reproduces build_operands(...) on
+    every solver-relevant plane, and the solve is bitwise identical."""
+    import jax
+
+    from arap_flow_tpu.ops import solver as S
+
+    H, W = 24, 40
+    rng = np.random.default_rng(3)
+    mask = np.full((H, W), 255, np.uint8)
+    mask[4:-4, 6:-6] = 0
+    cons = np.array(
+        [
+            [8, 8, 11, 9],
+            [20, 10, 18, 12],
+            [8, 8, 12, 10],   # duplicate source: later wins
+            [30, 12, -3, 5],  # negative target (crop-shift artifact)
+            [2, 2, 5, 5],     # source on an excluded pixel
+        ],
+        np.int32,
+    )
+    full = E.build_operands(mask, cons)
+    comp = jax.jit(E.expand_operands)(E.build_compact(mask, cons))
+
+    for name in ("mask", "vmasks", "degree", "fitmask", "grid", "wf2", "wr2"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(comp, name)), np.asarray(getattr(full, name)),
+            err_msg=name,
+        )
+    # constraint planes must agree wherever the fit term reads them
+    act = np.asarray(full.fitmask) == 1.0
+    for name in ("con_src", "con_tgt"):
+        a = np.asarray(getattr(comp, name))
+        b = np.asarray(getattr(full, name))
+        np.testing.assert_array_equal(a[:, act], b[:, act], err_msg=name)
+
+    cfg = S.SolverConfig(num_anneal=2, gn_iters=2, max_pcg_iters=30,
+                         pcg_iters=30.0)
+    _, flow_full = S.solve(full, cfg)
+    _, flow_comp = S.solve(jax.jit(E.expand_operands)(
+        E.build_compact(mask, cons)), cfg)
+    np.testing.assert_array_equal(np.asarray(flow_comp), np.asarray(flow_full))

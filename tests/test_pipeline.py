@@ -147,3 +147,15 @@ def test_pipeline_fd2(tmp_path):
     u, v = flo.flow_read(osp.join(out, "Flow", "seq0", "00000.flo"))
     mask = np.array(Image.open(osp.join(inp, "orgMasks", "seq0", "00000.png")))
     assert abs(np.median(u[mask == 1]) - 2 * DX) < 0.7
+
+
+def test_prewarm_compiles_bucket_programs():
+    """--warmup: the prewarm pass builds and runs a batched dummy problem per
+    bucket without error (compile-cache priming for cold pipeline starts)."""
+    from arap_flow_tpu.ops.energy import ArapWeights
+    from arap_flow_tpu.pipeline.para_gen import prewarm
+
+    cfg = SolverConfig(num_anneal=1, gn_iters=1, max_pcg_iters=4,
+                       pcg_iters=4.0)
+    prewarm(cfg, ArapWeights(), buckets=((32, 64),), batched=True)
+    prewarm(cfg, ArapWeights(), buckets=((32, 64),), batched=False)
