@@ -94,7 +94,7 @@ def _solve_and_raster(ops, rgb_f, cfg: SolverConfig):
 
 # fixed crop bucket shapes: a BOUNDED set of compiled program shapes (every
 # novel shape costs an XLA/Mosaic compile — minutes on some setups)
-CROP_BUCKETS: tuple = ((128, 256), (256, 384), (256, 512), (384, 640), (512, 896))
+CROP_BUCKETS: tuple = ((128, 256), (192, 384), (256, 384), (256, 512), (384, 640), (512, 896))
 
 
 def pick_bucket(

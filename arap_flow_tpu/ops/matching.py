@@ -57,14 +57,16 @@ def _avg_pool2(im: jnp.ndarray) -> jnp.ndarray:
 
 
 def _box_sum(im: jnp.ndarray, k: int) -> jnp.ndarray:
-    """k×k box sum, same-size (zero padded), via two separable cumsum passes.
+    """k×k box sum over the LAST TWO axes, same-size (zero padded), via two
+    separable cumsum passes; leading axes are batched.
 
     Window for output i covers [i − k//2, i + k − 1 − k//2]."""
     a = k // 2
     b = k - 1 - a
+    nd = im.ndim
 
     def along(x, axis):
-        pad = [(0, 0), (0, 0)]
+        pad = [(0, 0)] * nd
         pad[axis] = (a, b)
         xp = jnp.pad(x, pad)
         c = jnp.cumsum(xp, axis=axis)
@@ -76,7 +78,7 @@ def _box_sum(im: jnp.ndarray, k: int) -> jnp.ndarray:
         lo = jax.lax.slice_in_dim(c, 0, n, axis=axis)
         return hi - lo
 
-    return along(along(im, 0), 1)
+    return along(along(im, nd - 2), nd - 1)
 
 
 def _zscore(im: jnp.ndarray, k: int, eps: float = 1e-4) -> jnp.ndarray:
@@ -107,16 +109,45 @@ def _bilinear(plane: jnp.ndarray, qx: jnp.ndarray, qy: jnp.ndarray) -> jnp.ndarr
     )
 
 
+# budget (elements) for materialising every shifted image at once: the
+# vectorised path trades HBM for the scan's per-step latency
+_SEARCH_VEC_BUDGET = 48 * 1024 * 1024
+
+
 def _search(z1: jnp.ndarray, z2: jnp.ndarray, radius: int, patch: int):
     """Exhaustive NCC search: returns (du, dv, score) per pixel, each (H, W).
 
-    score is mean z1·z2 over the patch ∈ [−1, 1]. The offset loop is a
-    `lax.scan` over a pre-padded image (graph size independent of the search
-    radius — an unrolled loop makes XLA compile time explode)."""
+    score is mean z1·z2 over the patch ∈ [−1, 1]. Two schedules with
+    identical results (same raster offset order, first-max tie-breaking):
+
+    - small images / large windows (the coarse pyramid level): ONE gather
+      materialises every shifted image, then a batched box-sum + argmax — a
+      lax.scan here is LATENCY-bound (e.g. 27²·5 rotations = 3645 sequential
+      steps on a 107×60 plane dominate the matcher's device time);
+    - large images (the refine levels, 25 offsets at full resolution): a
+      lax.scan keeps peak memory flat and the graph size radius-independent
+      (an unrolled loop explodes XLA compile time), and the big per-step
+      tensors amortise step latency.
+    """
     n = float(patch * patch)
     H, W = z1.shape
     z2p = jnp.pad(z2, radius)
     dys, dxs = np.mgrid[-radius : radius + 1, -radius : radius + 1]
+    n_off = dys.size
+
+    if n_off * H * W <= _SEARCH_VEC_BUDGET and n_off > 49:
+        dy = jnp.asarray(dys.ravel() + radius, jnp.int32)
+        dx = jnp.asarray(dxs.ravel() + radius, jnp.int32)
+        rows = dy[:, None, None] + jnp.arange(H, dtype=jnp.int32)[None, :, None]
+        cols = dx[:, None, None] + jnp.arange(W, dtype=jnp.int32)[None, None, :]
+        shifts = z2p[rows, cols]  # (n_off, H, W)
+        corr = _box_sum(z1[None] * shifts, patch) / n
+        best_idx = jnp.argmax(corr, axis=0)  # first max wins, raster order
+        best = jnp.take_along_axis(corr, best_idx[None], axis=0)[0]
+        bu = jnp.asarray(dxs.ravel(), jnp.float32)[best_idx]
+        bv = jnp.asarray(dys.ravel(), jnp.float32)[best_idx]
+        return bu, bv, best
+
     offs = jnp.asarray(
         np.stack([dys.ravel(), dxs.ravel()], 1), jnp.int32
     )
@@ -281,6 +312,51 @@ def pyramid_flow_bidir(g1, g2, radius: int = 100, patch: int = 12,
 DEFAULT_ROTATIONS = (0.0, 0.2618, -0.2618, 0.5236, -0.5236)
 
 
+def _device_grid_select(fwd, bwd, score, stride: int):
+    """Stride-grid subsample + forward-backward error ON DEVICE.
+
+    The host selection only ever reads the stride grid, but fetching the
+    dense fields costs ~15 MB/pair at 854×480 — ~0.6 s through this
+    platform's ~25 MB/s D2H tunnel, more than the matcher's compute. Returns
+    (u, v, score, fb_err) as (gh, gw) planes: ~30× less D2H."""
+    H, W = score.shape
+    s2 = stride // 2
+    u = fwd[0, s2::stride, s2::stride]
+    v = fwd[1, s2::stride, s2::stride]
+    sg = score[s2::stride, s2::stride]
+    xs = jnp.arange(s2, W, stride, dtype=jnp.float32)[None, :]
+    ys = jnp.arange(s2, H, stride, dtype=jnp.float32)[:, None]
+    xt = jnp.clip(jnp.round(xs + u), 0, W - 1).astype(jnp.int32)
+    yt = jnp.clip(jnp.round(ys + v), 0, H - 1).astype(jnp.int32)
+    bu = bwd[0][yt, xt]
+    bv = bwd[1][yt, xt]
+    fb = jnp.hypot(u + bu, v + bv)
+    return u, v, sg, fb
+
+
+@partial(jax.jit, static_argnames=("radius", "patch", "levels",
+                                   "refine_radius", "rotations",
+                                   "refine_passes", "stride"))
+def match_grid(rgb1, rgb2, stride: int = 4, radius: int = 100,
+               patch: int = 12, levels: int = 3, refine_radius: int = 2,
+               rotations: tuple = DEFAULT_ROTATIONS, refine_passes: int = 1):
+    """Bidirectional pyramid matching + device-side grid selection in ONE
+    compiled program; returns (u, v, score, fb_err) stride-grid planes.
+
+    Accepts uint8 RGB (cast on device): frame uploads are 4× smaller —
+    ~10 MB/pair of f32 H2D through the ~25 MB/s tunnel was costing more
+    than the matcher's compute."""
+    g1, g2 = to_gray(rgb1.astype(jnp.float32)), to_gray(rgb2.astype(jnp.float32))
+    a = jnp.stack([g1, g2])
+    b = jnp.stack([g2, g1])
+    flows, scores = jax.vmap(
+        lambda x, y: _pyramid_flow_impl(x, y, radius, patch, levels,
+                                        refine_radius, rotations,
+                                        refine_passes)
+    )(a, b)
+    return _device_grid_select(flows[0], flows[1], scores[0], stride)
+
+
 @partial(jax.jit, static_argnames=("radius", "patch", "levels",
                                    "refine_radius", "rotations",
                                    "refine_passes"))
@@ -330,14 +406,15 @@ def match_images_batched(
     radius = min(radius, min_dim)
 
     @partial(jax.jit, static_argnames=("radius", "patch", "levels",
-                                       "rotations", "refine_passes"))
+                                       "rotations", "refine_passes",
+                                       "stride"))
     def run_chunk(rgb1s, rgb2s, radius, patch, levels, rotations,
-                  refine_passes):
+                  refine_passes, stride):
         def one(r1, r2):
-            g1, g2 = to_gray(r1), to_gray(r2)
-            return pyramid_flow_bidir(g1, g2, radius=radius, patch=patch,
-                                      levels=levels, rotations=rotations,
-                                      refine_passes=refine_passes)
+            return match_grid(r1, r2, stride=stride, radius=radius,
+                              patch=patch, levels=levels,
+                              rotations=rotations,
+                              refine_passes=refine_passes)
 
         return jax.vmap(one)(rgb1s, rgb2s)
 
@@ -348,21 +425,20 @@ def match_images_batched(
         while len(batch) < chunk and c0 + chunk <= len(pairs) + chunk - 1:
             batch = batch + [batch[-1]]
         r1 = jnp.stack([
-            jnp.asarray(np.ascontiguousarray(b[0].transpose(2, 0, 1)),
-                        jnp.float32) for b in batch
+            jnp.asarray(np.ascontiguousarray(b[0].transpose(2, 0, 1)))
+            for b in batch
         ])
         r2 = jnp.stack([
-            jnp.asarray(np.ascontiguousarray(b[1].transpose(2, 0, 1)),
-                        jnp.float32) for b in batch
+            jnp.asarray(np.ascontiguousarray(b[1].transpose(2, 0, 1)))
+            for b in batch
         ])
-        flows_b, scores_b = run_chunk(r1, r2, radius, patch, levels,
-                              rotations, refine_passes)
-        flows_b = np.asarray(flows_b)
-        scores_b = np.asarray(scores_b)
+        ub, vb, sb, fbb = run_chunk(r1, r2, radius, patch, levels,
+                                    rotations, refine_passes, stride)
+        ub, vb, sb, fbb = (np.asarray(a) for a in (ub, vb, sb, fbb))
         for i in range(n_real):
             out.append(
-                _select_matches(
-                    flows_b[i, 0], flows_b[i, 1], scores_b[i, 0], H_, W_,
+                _select_from_grids(
+                    ub[i], vb[i], sb[i], fbb[i], H_, W_,
                     stride, fb_threshold, score_threshold, radius,
                 )
             )
@@ -432,22 +508,16 @@ def _knn_coherence(xs, ys, u, v, keep, k=6, tol=4.0, rel=0.2):
     return out
 
 
-def _select_matches(fwd, bwd, score, H, W, stride, fb_threshold,
-                    score_threshold, radius, coherence: bool = True):
-    """Grid sampling + forward-backward + score selection (shared host post),
-    then two local-coherence passes (the median stabilises after the first
-    cleanup)."""
+def _select_from_grids(u, v, sc, fb_err, H, W, stride, fb_threshold,
+                       score_threshold, radius, coherence: bool = True):
+    """Host selection from stride-grid planes (gh, gw): thresholds, then two
+    local-coherence passes (the median stabilises after the first cleanup)."""
+    gh, gw = u.shape
     ys, xs = np.mgrid[stride // 2 : H : stride, stride // 2 : W : stride]
-    gh, gw = ys.shape
     ys, xs = ys.ravel(), xs.ravel()
-    u = fwd[0, ys, xs]
-    v = fwd[1, ys, xs]
+    u, v, sc, fb_err = (a.ravel() for a in (u, v, sc, fb_err))
     x2 = xs + u
     y2 = ys + v
-    xt = np.clip(np.round(x2).astype(int), 0, W - 1)
-    yt = np.clip(np.round(y2).astype(int), 0, H - 1)
-    fb_err = np.hypot(u + bwd[0, yt, xt], v + bwd[1, yt, xt])
-    sc = score[ys, xs]
     keep = (
         (fb_err < fb_threshold)
         & (sc >= score_threshold)
@@ -474,6 +544,24 @@ def _select_matches(fwd, bwd, score, H, W, stride, fb_threshold,
     ).astype(np.float32)
 
 
+def _select_matches(fwd, bwd, score, H, W, stride, fb_threshold,
+                    score_threshold, radius, coherence: bool = True):
+    """Full-field host selection (numpy inputs); production paths use
+    match_grid + _select_from_grids to avoid fetching dense fields."""
+    s2 = stride // 2
+    u = fwd[0, s2::stride, s2::stride]
+    v = fwd[1, s2::stride, s2::stride]
+    sc = score[s2::stride, s2::stride]
+    gh, gw = u.shape
+    xs = np.arange(s2, W, stride, dtype=np.float64)[None, :]
+    ys = np.arange(s2, H, stride, dtype=np.float64)[:, None]
+    xt = np.clip(np.round(xs + u).astype(int), 0, W - 1)
+    yt = np.clip(np.round(ys + v).astype(int), 0, H - 1)
+    fb_err = np.hypot(u + bwd[0][yt, xt], v + bwd[1][yt, xt])
+    return _select_from_grids(u, v, sc, fb_err, H, W, stride, fb_threshold,
+                              score_threshold, radius, coherence)
+
+
 def match_images(
     rgb1: np.ndarray,
     rgb2: np.ndarray,
@@ -494,8 +582,8 @@ def match_images(
     correlation-score pruning). Displacements are bounded by `radius`
     (≙ -ngh_rad 100, para_gen.py:234).
     """
-    j1 = jnp.asarray(np.ascontiguousarray(rgb1.transpose(2, 0, 1)), jnp.float32)
-    j2 = jnp.asarray(np.ascontiguousarray(rgb2.transpose(2, 0, 1)), jnp.float32)
+    j1 = jnp.asarray(np.ascontiguousarray(rgb1.transpose(2, 0, 1)))
+    j2 = jnp.asarray(np.ascontiguousarray(rgb2.transpose(2, 0, 1)))
     # keep the coarsest level at least ~3 patches across
     H_, W_ = rgb1.shape[:2]
     min_dim = min(H_, W_)
@@ -507,17 +595,16 @@ def match_images(
     if rotations is None:
         rotations = DEFAULT_ROTATIONS
     _t0 = _time.time()
-    flows, scores = match_fields(j1, j2, radius=radius, patch=patch,
-                                 levels=levels, rotations=rotations,
-                                 refine_passes=refine_passes)
-    flows = np.asarray(flows)
-    fwd, bwd = flows[0], flows[1]
-    score = np.asarray(scores[0])
+    u, v, sg, fb = match_grid(j1, j2, stride=stride, radius=radius,
+                              patch=patch, levels=levels,
+                              rotations=rotations,
+                              refine_passes=refine_passes)
+    u, v, sg, fb = (np.asarray(a) for a in (u, v, sg, fb))
     if _os.environ.get("ARAP_PROFILE"):
         print(f"  [match] device+d2h {_time.time() - _t0:.2f}s "
               f"(levels={levels} radius={radius})", flush=True)
-    return _select_matches(fwd, bwd, score, H_, W_, stride, fb_threshold,
-                           score_threshold, radius)
+    return _select_from_grids(u, v, sg, fb, H_, W_, stride, fb_threshold,
+                              score_threshold, radius)
 
 
 def write_matches(path, matches: np.ndarray) -> None:

@@ -23,7 +23,7 @@ from ..ops import energy as E
 from ..ops.solver import SolverConfig
 
 # bucket shapes (H, W): lane-friendly widths, covering typical DAVIS segments
-DEFAULT_BUCKETS = ((128, 256), (256, 384), (256, 512), (384, 640), (512, 896))
+DEFAULT_BUCKETS = ((128, 256), (192, 384), (256, 384), (256, 512), (384, 640), (512, 896))
 
 
 def max_chunk_for(bucket: tuple, n_data: int = 1) -> int:

@@ -89,6 +89,7 @@ class PipelineFlags:
     seed: int | None = None
     mode: str = "simple"  # simple (per-pair) | batched (bucketed cross-pair)
     warmup: bool = False  # compile the standard bucket programs up front
+    shard: tuple | None = None  # (i, n): this host takes pairs with idx%n==i
 
 
 def scale_rotate(im: Image.Image, mk: Image.Image, size):
@@ -220,6 +221,14 @@ def scan_pairs(flags: PipelineFlags) -> list[PairPaths]:
                 )
                 if not flags.resume or not osp.exists(pp.flow_gen):
                     pairs.append(pp)
+    if flags.shard is not None:
+        # multi-host dataset sharding (SURVEY §2.7: scan + file IO per host
+        # over DCN): host i of n takes every n-th pair. Deterministic from
+        # the sorted scan, no coordination needed — hosts share only the
+        # filesystem, exactly like the reference's process farm.
+        i, n = flags.shard
+        assert 0 <= i < n, f"--shard {i}/{n}"
+        pairs = pairs[i::n]
     return pairs
 
 
@@ -715,6 +724,9 @@ def parse_args(argv=None) -> PipelineFlags:
                         "additionally shards bucket batches over all visible "
                         "devices ('data' mesh axis)")
     parser.add_argument("--seed", type=int, default=None)
+    parser.add_argument("--shard", default=None, metavar="I/N",
+                        help="multi-host split: this host processes pairs "
+                        "I, I+N, I+2N, ... of the sorted scan (e.g. 0/4)")
     parser.add_argument("--warmup", action="store_true",
                         help="compile the standard bucket solver programs "
                         "before processing (hides the one-time XLA/Mosaic "
@@ -737,6 +749,7 @@ def parse_args(argv=None) -> PipelineFlags:
         seed=a.seed,
         mode=a.mode,
         warmup=a.warmup,
+        shard=tuple(int(x) for x in a.shard.split("/")) if a.shard else None,
     )
 
 

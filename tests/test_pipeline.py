@@ -159,3 +159,30 @@ def test_prewarm_compiles_bucket_programs():
                        pcg_iters=4.0)
     prewarm(cfg, ArapWeights(), buckets=((32, 64),), batched=True)
     prewarm(cfg, ArapWeights(), buckets=((32, 64),), batched=False)
+
+
+def test_scan_shard_partitions_pairs(tmp_path):
+    """--shard I/N: hosts partition the sorted pair scan disjointly and
+    completely (multi-host dataset sharding, SURVEY §2.7)."""
+    from arap_flow_tpu.io.image import save_image
+    from arap_flow_tpu.pipeline.para_gen import PipelineFlags, scan_pairs
+
+    root = tmp_path / "data"
+    (root / "orgRGB" / "seq0").mkdir(parents=True)
+    (root / "orgMasks" / "seq0").mkdir(parents=True)
+    for t in range(7):
+        save_image(root / "orgRGB" / "seq0" / f"{t:05d}.jpg",
+                   np.zeros((8, 8, 3), np.uint8))
+        save_image(root / "orgMasks" / "seq0" / f"{t:05d}.png",
+                   np.ones((8, 8), np.uint8))
+    base = dict(input=str(root), output=str(tmp_path / "out"), fd=1)
+    all_pairs = [p.flow_gen for p in scan_pairs(PipelineFlags(**base))]
+    assert len(all_pairs) == 6
+    sharded = []
+    for i in range(3):
+        sharded += [
+            p.flow_gen
+            for p in scan_pairs(PipelineFlags(**base, shard=(i, 3)))
+        ]
+    assert sorted(sharded) == sorted(all_pairs)
+    assert len(set(sharded)) == len(sharded)
