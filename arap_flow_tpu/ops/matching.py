@@ -109,59 +109,59 @@ def _bilinear(plane: jnp.ndarray, qx: jnp.ndarray, qy: jnp.ndarray) -> jnp.ndarr
     )
 
 
-# budget (elements) for materialising every shifted image at once: the
-# vectorised path trades HBM for the scan's per-step latency
-_SEARCH_VEC_BUDGET = 48 * 1024 * 1024
+# per-scan-step element budget for materialised shifted images: bounds peak
+# memory (matters under vmap — bidirectional pairs and batched chunks
+# multiply it) while keeping the sequential step count low
+_SEARCH_STEP_BUDGET = 8 * 1024 * 1024
 
 
 def _search(z1: jnp.ndarray, z2: jnp.ndarray, radius: int, patch: int):
     """Exhaustive NCC search: returns (du, dv, score) per pixel, each (H, W).
 
-    score is mean z1·z2 over the patch ∈ [−1, 1]. Two schedules with
-    identical results (same raster offset order, first-max tie-breaking):
-
-    - small images / large windows (the coarse pyramid level): ONE gather
-      materialises every shifted image, then a batched box-sum + argmax — a
-      lax.scan here is LATENCY-bound (e.g. 27²·5 rotations = 3645 sequential
-      steps on a 107×60 plane dominate the matcher's device time);
-    - large images (the refine levels, 25 offsets at full resolution): a
-      lax.scan keeps peak memory flat and the graph size radius-independent
-      (an unrolled loop explodes XLA compile time), and the big per-step
-      tensors amortise step latency.
+    score is mean z1·z2 over the patch ∈ [−1, 1]. The offset window is
+    processed in VECTORISED CHUNKS under a lax.scan: one gather materialises
+    a chunk of shifted images, a batched box-sum scores them, argmax picks
+    the chunk winner, and the scan carry keeps the global winner. A purely
+    sequential scan is latency-bound at the coarse pyramid level (27²·5
+    rotations = 3645 tiny steps dominated the matcher's device time); a
+    fully materialised window blows peak memory at fine levels and under
+    vmap. Chunking preserves both the raster-order first-max tie-breaking
+    (within-chunk argmax takes the first max; across chunks the strict >
+    keeps the earlier chunk) and the scan's radius-independent graph size.
     """
     n = float(patch * patch)
     H, W = z1.shape
     z2p = jnp.pad(z2, radius)
     dys, dxs = np.mgrid[-radius : radius + 1, -radius : radius + 1]
+    dys, dxs = dys.ravel(), dxs.ravel()
     n_off = dys.size
-
-    if n_off * H * W <= _SEARCH_VEC_BUDGET and n_off > 49:
-        dy = jnp.asarray(dys.ravel() + radius, jnp.int32)
-        dx = jnp.asarray(dxs.ravel() + radius, jnp.int32)
-        rows = dy[:, None, None] + jnp.arange(H, dtype=jnp.int32)[None, :, None]
-        cols = dx[:, None, None] + jnp.arange(W, dtype=jnp.int32)[None, None, :]
-        shifts = z2p[rows, cols]  # (n_off, H, W)
-        corr = _box_sum(z1[None] * shifts, patch) / n
-        best_idx = jnp.argmax(corr, axis=0)  # first max wins, raster order
-        best = jnp.take_along_axis(corr, best_idx[None], axis=0)[0]
-        bu = jnp.asarray(dxs.ravel(), jnp.float32)[best_idx]
-        bv = jnp.asarray(dys.ravel(), jnp.float32)[best_idx]
-        return bu, bv, best
-
+    chunk = int(max(1, min(n_off, _SEARCH_STEP_BUDGET // (H * W))))
+    # pad with the last offset: duplicates tie and first-max keeps the real one
+    n_pad = (-n_off) % chunk
+    dys = np.concatenate([dys, np.repeat(dys[-1], n_pad)])
+    dxs = np.concatenate([dxs, np.repeat(dxs[-1], n_pad)])
     offs = jnp.asarray(
-        np.stack([dys.ravel(), dxs.ravel()], 1), jnp.int32
+        np.stack([dys, dxs], 1).reshape(-1, chunk, 2), jnp.int32
     )
 
-    def body(carry, off):
+    def body(carry, offc):
         best, bu, bv = carry
-        dy, dx = off[0], off[1]
-        z2s = jax.lax.dynamic_slice(z2p, (radius + dy, radius + dx), (H, W))
-        corr = _box_sum(z1 * z2s, patch) / n
-        take = corr > best
-        best = jnp.where(take, corr, best)
-        bu = jnp.where(take, dx.astype(jnp.float32), bu)
-        bv = jnp.where(take, dy.astype(jnp.float32), bv)
-        return (best, bu, bv), None
+        rows = (offc[:, 0] + radius)[:, None, None] + jnp.arange(
+            H, dtype=jnp.int32)[None, :, None]
+        cols = (offc[:, 1] + radius)[:, None, None] + jnp.arange(
+            W, dtype=jnp.int32)[None, None, :]
+        shifts = z2p[rows, cols]  # (chunk, H, W)
+        corr = _box_sum(z1[None] * shifts, patch) / n
+        idx = jnp.argmax(corr, axis=0)  # first max within the chunk
+        cbest = jnp.take_along_axis(corr, idx[None], axis=0)[0]
+        cu = offc[:, 1].astype(jnp.float32)[idx]
+        cv = offc[:, 0].astype(jnp.float32)[idx]
+        take = cbest > best
+        return (
+            jnp.where(take, cbest, best),
+            jnp.where(take, cu, bu),
+            jnp.where(take, cv, bv),
+        ), None
 
     init = (
         jnp.full(z1.shape, -jnp.inf, jnp.float32),
@@ -386,63 +386,22 @@ def match_images_batched(
     levels: int = 3,
     fb_threshold: float = 1.5,
     score_threshold: float = 0.3,
-    chunk: int = 4,
     rotations: tuple = None,
     refine_passes: int = 1,
 ) -> list:
-    """Batched matching over many (rgb1, rgb2) pairs of identical shape.
-
-    Pairs are chunked to a fixed batch size (padded by repeating the last
-    pair) so at most two programs compile; within a chunk all pyramids run in
-    one vmapped program. Returns a list of (N_i, 5) match arrays, same
-    contract as match_images."""
-    if not pairs:
-        return []
-    if rotations is None:
-        rotations = DEFAULT_ROTATIONS
-    H_, W_ = pairs[0][0].shape[:2]
-    min_dim = min(H_, W_)
-    levels = max(0, min(levels, int(np.floor(np.log2(min_dim / (3 * patch))))))
-    radius = min(radius, min_dim)
-
-    @partial(jax.jit, static_argnames=("radius", "patch", "levels",
-                                       "rotations", "refine_passes",
-                                       "stride"))
-    def run_chunk(rgb1s, rgb2s, radius, patch, levels, rotations,
-                  refine_passes, stride):
-        def one(r1, r2):
-            return match_grid(r1, r2, stride=stride, radius=radius,
-                              patch=patch, levels=levels,
-                              rotations=rotations,
-                              refine_passes=refine_passes)
-
-        return jax.vmap(one)(rgb1s, rgb2s)
-
-    out = []
-    for c0 in range(0, len(pairs), chunk):
-        batch = pairs[c0 : c0 + chunk]
-        n_real = len(batch)
-        while len(batch) < chunk and c0 + chunk <= len(pairs) + chunk - 1:
-            batch = batch + [batch[-1]]
-        r1 = jnp.stack([
-            jnp.asarray(np.ascontiguousarray(b[0].transpose(2, 0, 1)))
-            for b in batch
-        ])
-        r2 = jnp.stack([
-            jnp.asarray(np.ascontiguousarray(b[1].transpose(2, 0, 1)))
-            for b in batch
-        ])
-        ub, vb, sb, fbb = run_chunk(r1, r2, radius, patch, levels,
-                                    rotations, refine_passes, stride)
-        ub, vb, sb, fbb = (np.asarray(a) for a in (ub, vb, sb, fbb))
-        for i in range(n_real):
-            out.append(
-                _select_from_grids(
-                    ub[i], vb[i], sb[i], fbb[i], H_, W_,
-                    stride, fb_threshold, score_threshold, radius,
-                )
-            )
-    return out
+    """Matching over many (rgb1, rgb2) pairs: per-pair programs, one compile
+    per frame shape. A vmapped multi-pair program was measured SLOWER than
+    sequential per-pair matching (1.01 vs 0.59 s/pair at 854×480 — the fused
+    pyramids go memory-bound), so this is a thin loop kept for API parity
+    with the reference's batch drivers. Returns a list of (N_i, 5) match
+    arrays, same contract as match_images."""
+    return [
+        match_images(r1, r2, radius=radius, stride=stride, patch=patch,
+                     levels=levels, fb_threshold=fb_threshold,
+                     score_threshold=score_threshold, rotations=rotations,
+                     refine_passes=refine_passes)
+        for r1, r2 in pairs
+    ]
 
 
 def _coherence_keep(keep_grid, u_grid, v_grid, tol=4.0, rel=0.2, rad=3,
