@@ -172,3 +172,29 @@ def test_matches_feed_constraint_filter():
     # all kept displacements within the filter bound and nonzero
     d = np.hypot(kept[:, 2] - kept[:, 0], kept[:, 3] - kept[:, 1])
     assert (d > 0).all() and (d < 60).all()
+
+
+def test_device_grid_select_matches_host_oracle():
+    """match_images (device-side stride-grid selection, the production path)
+    must reproduce the straightforward host computation over the dense
+    fields (_select_matches) exactly."""
+    import jax.numpy as jnp
+
+    from arap_flow_tpu.ops.matching import (
+        _select_matches, match_fields, match_images)
+
+    # frame large enough that match_images' coarsest-level cap
+    # (>=3 patches across) does not reduce the requested levels
+    H, W = 192, 256
+    im1 = _texture(H, W, seed=5)
+    im2 = np.roll(np.roll(im1, 3, axis=0), -5, axis=1)
+    got = match_images(im1, im2, radius=16, levels=2, stride=4)
+
+    j1 = jnp.asarray(np.ascontiguousarray(im1.transpose(2, 0, 1)), jnp.float32)
+    j2 = jnp.asarray(np.ascontiguousarray(im2.transpose(2, 0, 1)), jnp.float32)
+    flows, scores = match_fields(j1, j2, radius=16, levels=2)
+    want = _select_matches(
+        np.asarray(flows[0]), np.asarray(flows[1]), np.asarray(scores[0]),
+        H, W, 4, 1.5, 0.3, 16,
+    )
+    np.testing.assert_array_equal(got, want)
