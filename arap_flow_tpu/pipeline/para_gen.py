@@ -526,7 +526,8 @@ def process_chunk_batched(
 
 
 
-def prewarm(cfg, weights, buckets=None, batched: bool = True) -> None:
+def prewarm(cfg, weights, buckets=None, batched: bool = True,
+            frame_shape: tuple | None = None) -> None:
     """Compile the standard bucket solver programs on dummy problems before
     the first real pair arrives (--warmup). One-time XLA/Mosaic compiles cost
     40-300 s each on cold caches; prewarming moves them ahead of the
@@ -561,6 +562,14 @@ def prewarm(cfg, weights, buckets=None, batched: bool = True) -> None:
             out = _solve_and_raster(ops, rgb, cfg)
         jax.block_until_ready(out[1])
         print(f"warmup {bh}x{bw}: {time.time() - t0:.1f}s", flush=True)
+    if frame_shape is not None:
+        from ..ops.matching import match_grid
+
+        t0 = time.time()
+        H, W = frame_shape
+        z = jnp.zeros((3, H, W), jnp.uint8)
+        jax.block_until_ready(match_grid(z, z)[0])
+        print(f"warmup matcher {H}x{W}: {time.time() - t0:.1f}s", flush=True)
     print(f"warmup done in {time.time() - t_all:.1f}s", flush=True)
 
 
@@ -584,8 +593,12 @@ def main_pipeline(
     pairs = scan_pairs(flags)
     print(f"{len(pairs)} frame pairs to process")
     if flags.warmup and pairs:
+        # --size is (w, h); the matcher program compiles only when the frame
+        # shape is known up front
+        fshape = (flags.size[1], flags.size[0]) if flags.size else None
         prewarm(deformer.cfg, deformer.weights,
-                batched=flags.mode in ("batched", "sharded"))
+                batched=flags.mode in ("batched", "sharded"),
+                frame_shape=fshape)
     triples = []
     begin = time.time()
 
