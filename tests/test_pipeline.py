@@ -186,3 +186,50 @@ def test_scan_shard_partitions_pairs(tmp_path):
         ]
     assert sorted(sharded) == sorted(all_pairs)
     assert len(set(sharded)) == len(sharded)
+
+
+def test_generate_four_phases_end_to_end(tmp_path):
+    """The phase-by-phase generator (generate.py parity): match -> convert ->
+    deform -> bg each checkpoint to the filesystem and compose into a
+    training list, restartable at any phase."""
+    from arap_flow_tpu.io.image import save_image
+    from arap_flow_tpu.pipeline import generate as G
+    from arap_flow_tpu.pipeline.para_gen import PipelineFlags, scan_pairs
+
+    H, W = 48, 64
+    rng = np.random.default_rng(9)
+    root = tmp_path / "data"
+    (root / "orgRGB" / "seq0").mkdir(parents=True)
+    (root / "orgMasks" / "seq0").mkdir(parents=True)
+    base = np.kron(rng.integers(0, 255, (H // 4 + 1, W // 4 + 1, 3)),
+                   np.ones((4, 4, 1)))[:H, :W].astype(np.uint8)
+    mask = np.zeros((H, W), np.uint8)
+    mask[10:-10, 14:-14] = 1  # one object segment
+    for t in (0, 1):
+        frame = np.roll(base, 2 * t, axis=1)
+        save_image(root / "orgRGB" / "seq0" / f"{t:05d}.jpg", frame)
+        save_image(root / "orgMasks" / "seq0" / f"{t:05d}.png",
+                   np.roll(mask, 2 * t, axis=1))
+    bg_dir = tmp_path / "bg"
+    bg_dir.mkdir()
+    save_image(bg_dir / "b.png",
+               rng.integers(0, 255, (H, W, 3)).astype(np.uint8))
+
+    flags = PipelineFlags(input=str(root), output=str(tmp_path / "out"),
+                          bg_dir=str(bg_dir), fd=1, seed=0)
+    pairs = scan_pairs(flags)
+    assert len(pairs) == 1
+    G.phase_match(flags, pairs)
+    assert osp.exists(pairs[0].cstr_tmp)
+    G.phase_convert(flags, pairs)
+    assert osp.exists(pairs[0].msk1_gen) and osp.exists(pairs[0].rgb1_gen)
+    cfg = SolverConfig(num_anneal=2, gn_iters=2, max_pcg_iters=40,
+                       pcg_iters=40.0)
+    G.phase_deform(flags, pairs, solver_cfg=cfg)
+    assert osp.exists(pairs[0].flow_gen)
+    u, v = flo.flow_read(pairs[0].flow_gen)
+    obj = mask > 0
+    assert abs(np.median(u[obj]) - 2.0) < 0.6  # recovers the +2 px shift
+    lines = G.phase_bg(flags, pairs)
+    assert len(lines) == 1
+    assert osp.exists(osp.join(flags.output, "all_files.list"))
