@@ -430,21 +430,19 @@ def process_pair(
         return finish_pair(work, seg_results, writer)
 
 
-def process_chunk_batched(
+def prep_chunk_batched(
     flags: PipelineFlags,
     pairs: list[PairPaths],
-    cfg,
     weights,
     bgpool: BackgroundPool,
-    writer=None,
-    mesh=None,
-) -> list[str]:
-    """Batched mode: prep a chunk of pairs, bucket all segments across pairs,
-    run each bucket as one batched program, then compose/write per pair.
-    With `mesh` (--mode sharded) the bucket batches are sharded over the
-    mesh's 'data' axis — the reference's multi-GPU farm (para_gen.py:560-567)
-    as zero-collective data parallelism."""
-    from .batch import make_task, run_tasks
+):
+    """Host+matcher preparation for a chunk: decode, match, filter, bucket.
+
+    Returns (works, tasks, fallbacks) ready for execute_chunk_batched. Split
+    out so main_pipeline can run the NEXT chunk's prep on a worker thread
+    while the current chunk's solves occupy the device (the matcher's device
+    dispatches interleave safely; the host decode/bg/crop work hides)."""
+    from .batch import make_task
 
     # per-pair matching (measured FASTER than the vmapped chunk matcher:
     # 0.59 vs 1.01 s/pair at 854×480 — the batched program's fused pyramids
@@ -493,7 +491,24 @@ def process_chunk_batched(
                     (idx, seg_id, w.out1, arap_mask,
                      add_border_pins(cons, W, H))
                 )
+    return works, tasks, fallbacks
 
+
+def execute_chunk_batched(
+    flags: PipelineFlags,
+    prepped,
+    cfg,
+    weights,
+    writer=None,
+    mesh=None,
+) -> list[str]:
+    """Solve + compose + write one prepped chunk (see prep_chunk_batched).
+    With `mesh` (--mode sharded) the bucket batches are sharded over the
+    mesh's 'data' axis — the reference's multi-GPU farm (para_gen.py:560-567)
+    as zero-collective data parallelism."""
+    from .batch import run_tasks
+
+    works, tasks, fallbacks = prepped
     try:
         results = run_tasks(tasks, fallbacks, cfg, mesh=mesh)
     except Exception as e:
@@ -524,6 +539,20 @@ def process_chunk_batched(
     return triples
 
 
+def process_chunk_batched(
+    flags: PipelineFlags,
+    pairs: list[PairPaths],
+    cfg,
+    weights,
+    bgpool: BackgroundPool,
+    writer=None,
+    mesh=None,
+) -> list[str]:
+    """Batched mode, one chunk end-to-end (prep + execute in sequence)."""
+    return execute_chunk_batched(
+        flags, prep_chunk_batched(flags, pairs, weights, bgpool),
+        cfg, weights, writer, mesh=mesh,
+    )
 
 
 def prewarm(cfg, weights, buckets=None, batched: bool = True,
@@ -623,12 +652,29 @@ def main_pipeline(
             chunk = max(flags.narap, 1) * 2
             if mesh is not None:
                 chunk = max(chunk, mesh.shape["data"] * 2)
-            for i in range(0, len(pairs), chunk):
-                print(f"{100.0 * i / max(len(pairs), 1):.3f}%", flush=True)
-                triples += process_chunk_batched(
-                    flags, pairs[i : i + chunk], cfg, deformer.weights,
-                    bgpool, writer, mesh=mesh,
-                )
+            # pipelined: chunk k+1's host+matcher prep runs on a worker
+            # thread while chunk k's solves occupy the device (single
+            # worker keeps prep order and the BackgroundPool draw
+            # sequence deterministic)
+            from concurrent.futures import ThreadPoolExecutor
+
+            chunks = [pairs[i : i + chunk]
+                      for i in range(0, len(pairs), chunk)]
+            with ThreadPoolExecutor(max_workers=1) as ex:
+                fut = ex.submit(prep_chunk_batched, flags, chunks[0],
+                                deformer.weights, bgpool) if chunks else None
+                for i, ch in enumerate(chunks):
+                    print(f"{100.0 * i * chunk / max(len(pairs), 1):.3f}%",
+                          flush=True)
+                    prepped = fut.result()
+                    if i + 1 < len(chunks):
+                        fut = ex.submit(prep_chunk_batched, flags,
+                                        chunks[i + 1], deformer.weights,
+                                        bgpool)
+                    triples += execute_chunk_batched(
+                        flags, prepped, cfg, deformer.weights, writer,
+                        mesh=mesh,
+                    )
         else:
             # pipelined simple mode: the next pair's host+matcher prep runs on
             # a worker thread while the current pair's solves occupy the
