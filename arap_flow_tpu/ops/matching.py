@@ -109,59 +109,63 @@ def _bilinear(plane: jnp.ndarray, qx: jnp.ndarray, qy: jnp.ndarray) -> jnp.ndarr
     )
 
 
-# per-scan-step element budget for materialised shifted images: bounds peak
-# memory (matters under vmap — bidirectional pairs and batched chunks
-# multiply it) while keeping the sequential step count low
-_SEARCH_STEP_BUDGET = 8 * 1024 * 1024
+# element budget for materialising the whole offset window at once via one
+# gather (n_off · H · W): coarse pyramid levels fit easily; fine levels must
+# NOT take this path — XLA gathers run ~35 M rows/s on this hardware while
+# dynamic_slice shifts are effectively free, so gathering full-resolution
+# shifted planes costs ~1 s/pair (measured regression)
+_SEARCH_VEC_BUDGET = 48 * 1024 * 1024
 
 
 def _search(z1: jnp.ndarray, z2: jnp.ndarray, radius: int, patch: int):
     """Exhaustive NCC search: returns (du, dv, score) per pixel, each (H, W).
 
-    score is mean z1·z2 over the patch ∈ [−1, 1]. The offset window is
-    processed in VECTORISED CHUNKS under a lax.scan: one gather materialises
-    a chunk of shifted images, a batched box-sum scores them, argmax picks
-    the chunk winner, and the scan carry keeps the global winner. A purely
-    sequential scan is latency-bound at the coarse pyramid level (27²·5
-    rotations = 3645 tiny steps dominated the matcher's device time); a
-    fully materialised window blows peak memory at fine levels and under
-    vmap. Chunking preserves both the raster-order first-max tie-breaking
-    (within-chunk argmax takes the first max; across chunks the strict >
-    keeps the earlier chunk) and the scan's radius-independent graph size.
+    score is mean z1·z2 over the patch ∈ [−1, 1]. Two schedules, identical
+    results (same raster offset order, first-max tie-breaking):
+
+    - LARGE offset windows on SMALL planes (the coarse pyramid level): one
+      gather materialises every shifted image, then a batched box-sum +
+      argmax. A sequential scan here is latency-bound — 27²·5 rotations =
+      3645 tiny steps dominated the matcher's device time.
+    - everything else (the ±2 refine searches at full resolution): a
+      lax.scan of dynamic_slice shifts — slices are near-free while
+      full-resolution gathers are ~35 M rows/s, and the big per-step
+      tensors amortise the scan's step latency. Graph size stays
+      radius-independent (an unrolled loop explodes XLA compile time).
     """
     n = float(patch * patch)
     H, W = z1.shape
     z2p = jnp.pad(z2, radius)
     dys, dxs = np.mgrid[-radius : radius + 1, -radius : radius + 1]
-    dys, dxs = dys.ravel(), dxs.ravel()
     n_off = dys.size
-    chunk = int(max(1, min(n_off, _SEARCH_STEP_BUDGET // (H * W))))
-    # pad with the last offset: duplicates tie and first-max keeps the real one
-    n_pad = (-n_off) % chunk
-    dys = np.concatenate([dys, np.repeat(dys[-1], n_pad)])
-    dxs = np.concatenate([dxs, np.repeat(dxs[-1], n_pad)])
+
+    if n_off > 49 and n_off * H * W <= _SEARCH_VEC_BUDGET:
+        dy = jnp.asarray(dys.ravel() + radius, jnp.int32)
+        dx = jnp.asarray(dxs.ravel() + radius, jnp.int32)
+        rows = dy[:, None, None] + jnp.arange(H, dtype=jnp.int32)[None, :, None]
+        cols = dx[:, None, None] + jnp.arange(W, dtype=jnp.int32)[None, None, :]
+        shifts = z2p[rows, cols]  # (n_off, H, W)
+        corr = _box_sum(z1[None] * shifts, patch) / n
+        best_idx = jnp.argmax(corr, axis=0)  # first max wins, raster order
+        best = jnp.take_along_axis(corr, best_idx[None], axis=0)[0]
+        bu = jnp.asarray(dxs.ravel(), jnp.float32)[best_idx]
+        bv = jnp.asarray(dys.ravel(), jnp.float32)[best_idx]
+        return bu, bv, best
+
     offs = jnp.asarray(
-        np.stack([dys, dxs], 1).reshape(-1, chunk, 2), jnp.int32
+        np.stack([dys.ravel(), dxs.ravel()], 1), jnp.int32
     )
 
-    def body(carry, offc):
+    def body(carry, off):
         best, bu, bv = carry
-        rows = (offc[:, 0] + radius)[:, None, None] + jnp.arange(
-            H, dtype=jnp.int32)[None, :, None]
-        cols = (offc[:, 1] + radius)[:, None, None] + jnp.arange(
-            W, dtype=jnp.int32)[None, None, :]
-        shifts = z2p[rows, cols]  # (chunk, H, W)
-        corr = _box_sum(z1[None] * shifts, patch) / n
-        idx = jnp.argmax(corr, axis=0)  # first max within the chunk
-        cbest = jnp.take_along_axis(corr, idx[None], axis=0)[0]
-        cu = offc[:, 1].astype(jnp.float32)[idx]
-        cv = offc[:, 0].astype(jnp.float32)[idx]
-        take = cbest > best
-        return (
-            jnp.where(take, cbest, best),
-            jnp.where(take, cu, bu),
-            jnp.where(take, cv, bv),
-        ), None
+        dy, dx = off[0], off[1]
+        z2s = jax.lax.dynamic_slice(z2p, (radius + dy, radius + dx), (H, W))
+        corr = _box_sum(z1 * z2s, patch) / n
+        take = corr > best
+        best = jnp.where(take, corr, best)
+        bu = jnp.where(take, dx.astype(jnp.float32), bu)
+        bv = jnp.where(take, dy.astype(jnp.float32), bv)
+        return (best, bu, bv), None
 
     init = (
         jnp.full(z1.shape, -jnp.inf, jnp.float32),
