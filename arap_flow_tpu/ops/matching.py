@@ -227,37 +227,48 @@ def _pyramid_flow_impl(
     Hc, Wc = pyr1[-1].shape
     ccy, ccx = (Hc - 1) / 2.0, (Wc - 1) / 2.0
     gxc, gyc = _grid(Hc, Wc)
-    u = v = score = None
-    for theta in rotations:
-        if theta == 0.0:
-            g2r = pyr2[-1]
-        else:
-            g2r = _rotate_about_center(pyr2[-1], theta)
-        z2 = _zscore(g2r, patch)
-        du, dv, sc = _search(z1, z2, coarse_r, patch)
-        if theta == 0.0:
-            ur, vr = du, dv
-        else:
-            # matched position in the rotated frame: p + d; in image-2
-            # coordinates: R_θ((p + d) − c) + c
-            px = gxc + du
-            py = gyc + dv
-            ca, sa = float(np.cos(theta)), float(np.sin(theta))
-            tx = ca * (px - ccx) - sa * (py - ccy) + ccx
-            ty = sa * (px - ccx) + ca * (py - ccy) + ccy
-            ur, vr = tx - gxc, ty - gyc
-        if score is None:
-            u, v, score = ur, vr, sc
-        else:
-            # a rotated hypothesis must beat the incumbent by a clear NCC
-            # margin: rotated resampling can spuriously edge out identity on
-            # low-texture patches (near-tie scores), which measurably biases
-            # flow on weakly textured frames. Ties go to the earlier (by
-            # convention identity-first) hypothesis.
-            take = sc > score + (0.0 if theta == 0.0 else 0.1)
-            u = jnp.where(take, ur, u)
-            v = jnp.where(take, vr, v)
-            score = jnp.where(take, sc, score)
+
+    # ALL rotation hypotheses in one batched op-set: this platform charges a
+    # large fixed cost per HLO op (measured ~1 ms), so the former per-θ
+    # unroll (rotate + zscore + search each) dominated the matcher's device
+    # time. The rotated sampling positions are static — one gather builds
+    # the whole (R, Hc, Wc) stack — and vmap keeps the search at a constant
+    # op count regardless of R.
+    gx_np, gy_np = np.meshgrid(np.arange(Wc, dtype=np.float64),
+                               np.arange(Hc, dtype=np.float64))
+    qx = np.stack([
+        np.cos(th) * (gx_np - ccx) - np.sin(th) * (gy_np - ccy) + ccx
+        for th in rotations
+    ])
+    qy = np.stack([
+        np.sin(th) * (gx_np - ccx) + np.cos(th) * (gy_np - ccy) + ccy
+        for th in rotations
+    ])
+    g2r = _bilinear(pyr2[-1], jnp.asarray(qx, jnp.float32),
+                    jnp.asarray(qy, jnp.float32))  # (R, Hc, Wc)
+    z2 = _zscore(g2r, patch)
+    du, dv, sc = jax.vmap(lambda z: _search(z1, z, coarse_r, patch))(z2)
+    # fold each hypothesis back into image-2 coordinates:
+    # t(p) = R_θ((p + d) − c) + c (identity θ reduces to p + d exactly)
+    cas = jnp.asarray(np.cos(rotations), jnp.float32)[:, None, None]
+    sas = jnp.asarray(np.sin(rotations), jnp.float32)[:, None, None]
+    px = gxc[None] + du
+    py = gyc[None] + dv
+    ur_all = cas * (px - ccx) - sas * (py - ccy) + ccx - gxc[None]
+    vr_all = sas * (px - ccx) + cas * (py - ccy) + ccy - gyc[None]
+    # sequential hypothesis fold (tiny per-plane ops): a rotated hypothesis
+    # must beat the incumbent by a clear NCC margin — rotated resampling can
+    # spuriously edge out identity on low-texture patches (near-tie scores),
+    # which measurably biases flow on weakly textured frames. Ties go to the
+    # earlier (by convention identity-first) hypothesis.
+    u, v, score = ur_all[0], vr_all[0], sc[0]
+    for r, theta in enumerate(rotations):
+        if r == 0:
+            continue
+        take = sc[r] > score + (0.0 if theta == 0.0 else 0.1)
+        u = jnp.where(take, ur_all[r], u)
+        v = jnp.where(take, vr_all[r], v)
+        score = jnp.where(take, sc[r], score)
 
     for lvl in range(levels - 1, -1, -1):
         H, W = pyr1[lvl].shape
