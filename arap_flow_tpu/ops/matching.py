@@ -60,7 +60,11 @@ def _box_sum(im: jnp.ndarray, k: int) -> jnp.ndarray:
     """k×k box sum over the LAST TWO axes, same-size (zero padded), via two
     separable cumsum passes; leading axes are batched.
 
-    Window for output i covers [i − k//2, i + k − 1 − k//2]."""
+    Window for output i covers [i − k//2, i + k − 1 − k//2]. NOTE: a single
+    lax.reduce_window op looks cheaper under this platform's per-op cost
+    model, but XLA:TPU expands the k×k window NAIVELY — measured 23 GB HBM
+    (OOM) on the vectorized coarse search at k=12; the cumsum form stays
+    O(elements)."""
     a = k // 2
     b = k - 1 - a
     nd = im.ndim

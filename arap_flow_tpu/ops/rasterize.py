@@ -85,7 +85,7 @@ def _seed_map(warp: jnp.ndarray, drawable: jnp.ndarray, dilate: int) -> jnp.ndar
     seeds = seeds.at[ly.ravel() * W + lx.ravel()].max(vals.ravel())
     seeds = seeds.reshape(H, W)
 
-    def pool(s):
+    def pool(_, s):
         """Fill-only dilation: empty cells take the neighborhood max; occupied
         cells keep their (accurate) seed."""
         nbr = s
@@ -102,9 +102,9 @@ def _seed_map(warp: jnp.ndarray, drawable: jnp.ndarray, dilate: int) -> jnp.ndar
                 nbr = jnp.maximum(nbr, sh)
         return jnp.where(s < 0, nbr, s)
 
-    for _ in range(dilate):
-        seeds = pool(seeds)
-    return seeds
+    # fori_loop, not an unrolled Python loop: this platform charges ~1 ms
+    # per HLO op, and the pool body is ~30 ops — loop-carried they count once
+    return jax.lax.fori_loop(0, dilate, pool, seeds)
 
 
 @partial(jax.jit, static_argnames=("window", "dilate", "anchor"))
