@@ -51,9 +51,12 @@ def to_gray(rgb: jnp.ndarray) -> jnp.ndarray:
 
 
 def _avg_pool2(im: jnp.ndarray) -> jnp.ndarray:
-    H, W = im.shape
+    """2×2 average pool over the last two axes; leading axes batched."""
+    H, W = im.shape[-2:]
     H2, W2 = H // 2, W // 2
-    return im[: H2 * 2, : W2 * 2].reshape(H2, 2, W2, 2).mean((1, 3))
+    lead = im.shape[:-2]
+    out = im[..., : H2 * 2, : W2 * 2].reshape(*lead, H2, 2, W2, 2)
+    return out.mean((-3, -1))
 
 
 def _box_sum(im: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -221,10 +224,13 @@ def _pyramid_flow_impl(
     of local rotation). Runs at the coarsest level only: K hypotheses cost
     K tiny searches (e.g. 53×30 px at 854×480, levels=4).
     """
-    pyr1, pyr2 = [g1], [g2]
+    # both pyramids in one batched op-set (this platform charges ~1 ms per
+    # executed HLO op — see CLAUDE.md; stacking halves the op count)
+    pyr = [jnp.stack([g1, g2])]
     for _ in range(levels):
-        pyr1.append(_avg_pool2(pyr1[-1]))
-        pyr2.append(_avg_pool2(pyr2[-1]))
+        pyr.append(_avg_pool2(pyr[-1]))
+    pyr1 = [p[0] for p in pyr]
+    pyr2 = [p[1] for p in pyr]
 
     coarse_r = max(2, int(np.ceil(radius / (2 ** levels))))
     z1 = _zscore(pyr1[-1], patch)
@@ -283,7 +289,6 @@ def _pyramid_flow_impl(
             u = jnp.pad(u, ((0, H - u.shape[0]), (0, W - u.shape[1])), mode="edge")
             v = jnp.pad(v, ((0, H - v.shape[0]), (0, W - v.shape[1])), mode="edge")
         gx, gy = _grid(H, W)
-        z1l = _zscore(pyr1[lvl], patch)
         # iterated warp-and-search: when the upsampled estimate is off by
         # more than refine_radius (large non-rigid deformation), each pass
         # re-warps at the improved estimate and recovers another
@@ -291,8 +296,9 @@ def _pyramid_flow_impl(
         # tightens large-warp matching
         for _ in range(refine_passes):
             w2 = _bilinear(pyr2[lvl], gx + u, gy + v)
-            z2l = _zscore(w2, patch)
-            du, dv, score = _search(z1l, z2l, refine_radius, patch)
+            # z-score the reference and warped planes in one batched op-set
+            zz = _zscore(jnp.stack([pyr1[lvl], w2]), patch)
+            du, dv, score = _search(zz[0], zz[1], refine_radius, patch)
             u = u + du
             v = v + dv
 
