@@ -107,12 +107,14 @@ def _bilinear(plane: jnp.ndarray, qx: jnp.ndarray, qy: jnp.ndarray) -> jnp.ndarr
     fx = qx - x0
     fy = qy - y0
     flat = plane.ravel()
-    g = lambda yy, xx: flat[yy * W + xx]
+    # all four corners in ONE gather op (per-op cost model, CLAUDE.md)
+    idx = jnp.stack([y0 * W + x0, y0 * W + x1, y1 * W + x0, y1 * W + x1])
+    c = flat[idx]
     return (
-        g(y0, x0) * (1 - fx) * (1 - fy)
-        + g(y0, x1) * fx * (1 - fy)
-        + g(y1, x0) * (1 - fx) * fy
-        + g(y1, x1) * fx * fy
+        c[0] * (1 - fx) * (1 - fy)
+        + c[1] * fx * (1 - fy)
+        + c[2] * (1 - fx) * fy
+        + c[3] * fx * fy
     )
 
 
@@ -280,14 +282,17 @@ def _pyramid_flow_impl(
         v = jnp.where(take, vr_all[r], v)
         score = jnp.where(take, sc[r], score)
 
+    uv = jnp.stack([u, v])
     for lvl in range(levels - 1, -1, -1):
         H, W = pyr1[lvl].shape
-        # upsample flow ×2 (values double)
-        u = jnp.repeat(jnp.repeat(u, 2, 0), 2, 1)[:H, :W] * 2.0
-        v = jnp.repeat(jnp.repeat(v, 2, 0), 2, 1)[:H, :W] * 2.0
-        if u.shape != (H, W):
-            u = jnp.pad(u, ((0, H - u.shape[0]), (0, W - u.shape[1])), mode="edge")
-            v = jnp.pad(v, ((0, H - v.shape[0]), (0, W - v.shape[1])), mode="edge")
+        # upsample flow ×2 (values double); u/v stay stacked — one op-set
+        uv = jnp.repeat(jnp.repeat(uv, 2, -2), 2, -1)[:, :H, :W] * 2.0
+        if uv.shape[-2:] != (H, W):
+            uv = jnp.pad(
+                uv,
+                ((0, 0), (0, H - uv.shape[-2]), (0, W - uv.shape[-1])),
+                mode="edge",
+            )
         gx, gy = _grid(H, W)
         # iterated warp-and-search: when the upsampled estimate is off by
         # more than refine_radius (large non-rigid deformation), each pass
@@ -295,14 +300,13 @@ def _pyramid_flow_impl(
         # ±refine_radius — cheap (the search window is tiny) and measurably
         # tightens large-warp matching
         for _ in range(refine_passes):
-            w2 = _bilinear(pyr2[lvl], gx + u, gy + v)
+            w2 = _bilinear(pyr2[lvl], gx + uv[0], gy + uv[1])
             # z-score the reference and warped planes in one batched op-set
             zz = _zscore(jnp.stack([pyr1[lvl], w2]), patch)
             du, dv, score = _search(zz[0], zz[1], refine_radius, patch)
-            u = u + du
-            v = v + dv
+            uv = uv + jnp.stack([du, dv])
 
-    return jnp.stack([u, v]), score
+    return uv, score
 
 
 @partial(jax.jit, static_argnames=("radius", "patch", "levels",
