@@ -42,8 +42,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .stencil import shift
-
 
 def to_gray(rgb: jnp.ndarray) -> jnp.ndarray:
     """(3, H, W) float32 RGB -> (H, W) luma."""

@@ -88,7 +88,7 @@ def _deform_frames_batched(frames: list[FramePaths], cfg: SolverConfig) -> bool:
     from ..io.constraints import add_border_pins
     from ..models.arap import DeformResult, solve_and_raster_batch
     from ..ops import energy as E
-    from ..ops.solver import _BATCH_KERNEL_PLANES, _BATCH_KERNEL_VMEM
+    from .batch import max_chunk_for
 
     loaded = []
     groups: dict[tuple, list[int]] = {}
@@ -110,8 +110,7 @@ def _deform_frames_batched(frames: list[FramePaths], cfg: SolverConfig) -> bool:
             _write_result(fr, deformer.deform(rgb, mask, cons))
             continue
         H, W = shape
-        step = max(1, min(24, _BATCH_KERNEL_VMEM
-                          // (_BATCH_KERNEL_PLANES * H * W * 4)))
+        step = max_chunk_for((H, W))
         for c0 in range(0, len(idxs), step):
             chunk = idxs[c0 : c0 + step]
             ops = []
