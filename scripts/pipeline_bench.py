@@ -81,6 +81,41 @@ def main():
             f"-> {len(triples) / t:.3f} pairs/s end-to-end",
             flush=True,
         )
+        check_flow_accuracy(out, osp.join(root, "data"))
+
+
+def check_flow_accuracy(out_dir, data_dir):
+    """Correctness gate on the bench products: the synthetic objects
+    translate rigidly by (+9, +6) and (+7, −4) px/frame (make_dataset), so
+    the produced .flo must recover those displacements on the object
+    interiors. Segment ids come from the ORIGINAL annotation mask (the
+    pipeline's saved inpMasks are binary ARAP masks)."""
+    import numpy as np
+
+    from arap_flow_tpu.io import flo as flo_io
+
+    flo_path = osp.join(out_dir, "Flow", "seq0", "00000.flo")
+    msk_path = osp.join(data_dir, "orgMasks", "seq0", "00000.png")
+    if not (osp.exists(flo_path) and osp.exists(msk_path)):
+        print("  flow check: products missing, skipped")
+        return
+    u, v = flo_io.flow_read(flo_path)
+    mask = np.array(Image.open(msk_path))
+    if mask.ndim == 3:
+        mask = mask[..., 0]
+    ok = True
+    for seg, (du, dv) in ((1, (9.0, 6.0)), (2, (7.0, -4.0))):
+        sel = mask == seg
+        if sel.sum() < 100:
+            continue
+        mu, mv = float(np.median(u[sel])), float(np.median(v[sel]))
+        good = abs(mu - du) < 1.0 and abs(mv - dv) < 1.0
+        ok &= good
+        print(f"  flow check seg{seg}: median ({mu:+.2f}, {mv:+.2f}) "
+              f"expected ({du:+.0f}, {dv:+.0f}) "
+              f"{'OK' if good else 'MISMATCH'}")
+    if not ok:
+        raise SystemExit("pipeline flow accuracy check FAILED")
 
 
 if __name__ == "__main__":
