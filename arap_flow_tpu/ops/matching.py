@@ -548,6 +548,18 @@ def _select_matches(fwd, bwd, score, H, W, stride, fb_threshold,
                               score_threshold, radius, coherence)
 
 
+def clamp_match_params(
+    H: int, W: int, radius: int = 100, patch: int = 12, levels: int = 3
+) -> tuple[int, int]:
+    """Frame-size clamps applied before every match_grid call: keep the
+    coarsest pyramid level at least ~3 patches across and the search radius
+    within the frame. Shared with the pipeline prewarm so the warmed program
+    is the one actually executed. Returns (radius, levels)."""
+    min_dim = min(H, W)
+    levels = max(0, min(levels, int(np.floor(np.log2(min_dim / (3 * patch))))))
+    return min(radius, min_dim), levels
+
+
 def match_images(
     rgb1: np.ndarray,
     rgb2: np.ndarray,
@@ -570,11 +582,8 @@ def match_images(
     """
     j1 = jnp.asarray(np.ascontiguousarray(rgb1.transpose(2, 0, 1)))
     j2 = jnp.asarray(np.ascontiguousarray(rgb2.transpose(2, 0, 1)))
-    # keep the coarsest level at least ~3 patches across
     H_, W_ = rgb1.shape[:2]
-    min_dim = min(H_, W_)
-    levels = max(0, min(levels, int(np.floor(np.log2(min_dim / (3 * patch))))))
-    radius = min(radius, min_dim)
+    radius, levels = clamp_match_params(H_, W_, radius, patch, levels)
     import os as _os
     import time as _time
 

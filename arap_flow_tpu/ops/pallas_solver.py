@@ -200,10 +200,17 @@ def anneal_solve_fused(ops, cfg, interpret: bool = False):
     """Full annealed solve in one kernel; returns x (3, H, W). Drop-in for
     ops.solver.anneal_solve when the problem fits VMEM."""
     w = jnp.stack([ops.wf2, ops.wr2]).reshape(1, 2).astype(jnp.float32)
-    sched = jnp.array(
-        [[cfg.num_anneal, cfg.gn_iters,
-          int(min(cfg.max_pcg_iters, int(cfg.pcg_iters)))]], jnp.int32
+    # cfg.pcg_iters may be a tracer (jit callers rebuild cfg from traced
+    # dynamics, models/arap.py:_fused_solve_raster_impl) — clamp with jnp so
+    # the schedule row works both concrete and traced.
+    budget = jnp.minimum(
+        jnp.int32(cfg.max_pcg_iters),
+        jnp.asarray(cfg.pcg_iters).astype(jnp.int32),
     )
+    sched = jnp.concatenate(
+        [jnp.array([cfg.num_anneal, cfg.gn_iters], jnp.int32),
+         budget.reshape(1)]
+    ).reshape(1, 3)
     return _solve_call(
         ops.vmasks, ops.fitmask, ops.con_src, ops.con_tgt, ops.grid,
         w, sched, interpret=interpret,

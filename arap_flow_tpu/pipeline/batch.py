@@ -123,10 +123,13 @@ def run_tasks(
     cfg: SolverConfig,
     timer=None,
     mesh=None,
+    weights: E.ArapWeights = E.ArapWeights(),
 ) -> dict[tuple, DeformResult]:
     """Execute bucketed tasks (batched per bucket) + full-frame fallbacks.
 
-    fallbacks: list of (pair_idx, seg_id, rgb, arap_mask, cons-with-pins).
+    fallbacks: list of (pair_idx, seg_id, rgb, arap_mask, cons-with-pins);
+    `weights` applies to the fallback solves (bucketed tasks already carry
+    theirs via make_task).
     `timer` (optional StageTimer) records a per-stage breakdown: upload,
     device dispatch, D2H fetch (which on this platform also absorbs the wait
     for device completion), and host paste.
@@ -203,7 +206,7 @@ def run_tasks(
                 )
 
     for pair_idx, seg_id, rgb, arap_mask, cons in fallbacks:
-        ops = E.build_compact(np.asarray(arap_mask), cons)
+        ops = E.build_compact(np.asarray(arap_mask), cons, weights)
         rgb_u8 = jnp.asarray(np.ascontiguousarray(rgb.transpose(2, 0, 1)))
         _, flow, wrgb, wmask = _solve_and_raster(ops, rgb_u8, cfg)
         out[(pair_idx, seg_id)] = DeformResult(

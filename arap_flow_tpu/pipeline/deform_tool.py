@@ -90,51 +90,77 @@ def _deform_frames_batched(frames: list[FramePaths], cfg: SolverConfig) -> bool:
     from ..ops import energy as E
     from .batch import max_chunk_for
 
-    loaded = []
+    from PIL import Image
+
+    # grouping pass reads only image headers (PIL .size does not decode), so
+    # a long Sintel list never holds more than one chunk of frames resident
     groups: dict[tuple, list[int]] = {}
     for i, fr in enumerate(frames):
-        rgb = load_rgb(fr.rgb)
-        mask = load_mask(fr.mask)
-        cons = read_constraint_file(fr.cstr)
-        loaded.append((rgb, mask, cons))
-        groups.setdefault(mask.shape, []).append(i)
+        with Image.open(fr.mask) as im:
+            w, h = im.size
+        groups.setdefault((h, w), []).append(i)
 
     if all(len(idx) < 2 for idx in groups.values()):
         return False
 
     deformer = ArapDeformer(cfg)
+
+    def _serial(i):
+        fr = frames[i]
+        _write_result(
+            fr,
+            deformer.deform(
+                load_rgb(fr.rgb), load_mask(fr.mask),
+                read_constraint_file(fr.cstr),
+            ),
+        )
+
     for shape, idxs in groups.items():
         if len(idxs) < 2:
-            fr = frames[idxs[0]]
-            rgb, mask, cons = loaded[idxs[0]]
-            _write_result(fr, deformer.deform(rgb, mask, cons))
+            _serial(idxs[0])
             continue
         H, W = shape
         step = max_chunk_for((H, W))
         for c0 in range(0, len(idxs), step):
             chunk = idxs[c0 : c0 + step]
-            ops = []
-            rgbs = []
-            for i in chunk:
-                rgb, mask, cons = loaded[i]
-                cons = add_border_pins(
-                    np.asarray(cons, np.int32).reshape(-1, 4), W, H)
-                ops.append(E.build_compact(mask, cons))
-                rgbs.append(jnp.asarray(
-                    np.ascontiguousarray(rgb.transpose(2, 0, 1))))
-            batched = jax.tree.map(lambda *ls: jnp.stack(ls), *ops)
-            _, flows, wrgbs, wmasks = solve_and_raster_batch(
-                batched, jnp.stack(rgbs), cfg)
-            flows = np.asarray(flows)
-            wrgbs = np.asarray(wrgbs)
-            wmasks = np.asarray(wmasks)
-            for j, i in enumerate(chunk):
-                res = DeformResult(
-                    flow=flows[j].transpose(1, 2, 0),
-                    warped_rgb=wrgbs[j].transpose(1, 2, 0).astype(np.uint8),
-                    warped_mask=wmasks[j].astype(np.uint8),
-                )
-                _write_result(frames[i], res)
+            try:
+                ops = []
+                rgbs = []
+                for i in chunk:
+                    fr = frames[i]
+                    rgb = load_rgb(fr.rgb)
+                    mask = load_mask(fr.mask)
+                    cons = add_border_pins(
+                        np.asarray(
+                            read_constraint_file(fr.cstr), np.int32
+                        ).reshape(-1, 4), W, H)
+                    ops.append(E.build_compact(mask, cons))
+                    rgbs.append(jnp.asarray(
+                        np.ascontiguousarray(rgb.transpose(2, 0, 1))))
+                n_real = len(ops)
+                # pad partial chunks by repeating the last frame: one compiled
+                # batch shape per frame size (a wasted duplicate solve is
+                # cheap; a novel batch shape costs a 10-300s compile here)
+                while len(ops) < min(step, len(idxs)):
+                    ops.append(ops[-1])
+                    rgbs.append(rgbs[-1])
+                batched = jax.tree.map(lambda *ls: jnp.stack(ls), *ops)
+                _, flows, wrgbs, wmasks = solve_and_raster_batch(
+                    batched, jnp.stack(rgbs), cfg)
+                flows = np.asarray(flows)
+                wrgbs = np.asarray(wrgbs)
+                wmasks = np.asarray(wmasks)
+                for j, i in enumerate(chunk[:n_real]):
+                    res = DeformResult(
+                        flow=flows[j].transpose(1, 2, 0),
+                        warped_rgb=wrgbs[j].transpose(1, 2, 0).astype(np.uint8),
+                        warped_mask=wmasks[j].astype(np.uint8),
+                    )
+                    _write_result(frames[i], res)
+            except Exception as e:  # failure isolation: retry frame-by-frame
+                print(f"batched chunk failed ({e!r}); falling back to serial")
+                for i in chunk:
+                    _serial(i)
     return True
 
 

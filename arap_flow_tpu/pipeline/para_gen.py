@@ -592,12 +592,15 @@ def prewarm(cfg, weights, buckets=None, batched: bool = True,
         jax.block_until_ready(out[1])
         print(f"warmup {bh}x{bw}: {time.time() - t0:.1f}s", flush=True)
     if frame_shape is not None:
-        from ..ops.matching import match_grid
+        from ..ops.matching import clamp_match_params, match_grid
 
         t0 = time.time()
         H, W = frame_shape
+        # same clamps as match_images: otherwise small frames warm a program
+        # (levels/radius) different from the one actually run
+        radius, levels = clamp_match_params(H, W)
         z = jnp.zeros((3, H, W), jnp.uint8)
-        jax.block_until_ready(match_grid(z, z)[0])
+        jax.block_until_ready(match_grid(z, z, radius=radius, levels=levels)[0])
         print(f"warmup matcher {H}x{W}: {time.time() - t0:.1f}s", flush=True)
     print(f"warmup done in {time.time() - t_all:.1f}s", flush=True)
 

@@ -37,3 +37,28 @@ def test_fused_solver_matches_xla():
     c_ref = float(E.cost(jnp.asarray(x_ref), ops, cimg))
     c_fused = float(E.cost(jnp.asarray(x_fused), ops, cimg))
     assert abs(c_fused - c_ref) < 0.05 * max(abs(c_ref), 1.0), (c_fused, c_ref)
+
+
+def test_fused_entry_traces_with_dynamic_cfg():
+    """backend='fused' inside jit: cfg.pcg_iters is a tracer there — the
+    schedule row must be built with jnp (regression: int(tracer) raised
+    ConcretizationTypeError at trace time via models/arap.py)."""
+    import jax
+
+    from arap_flow_tpu.models.arap import _fused_solve_raster_impl
+
+    ops = _problem()
+    compact = E.build_compact(
+        np.asarray(1 - np.asarray(ops.mask), np.uint8) * 255,
+        np.zeros((0, 4), np.int32),
+    )
+    rgb = jnp.zeros((3, *ops.mask.shape), jnp.uint8)
+    cfg = S.SolverConfig(num_anneal=2, gn_iters=1, max_pcg_iters=8,
+                         pcg_iters=8.0, backend="fused")
+    # tracing alone reproduces the bug; no TPU execution needed
+    out = jax.eval_shape(
+        lambda o, r: _fused_solve_raster_impl(o, r, cfg.dynamic,
+                                              cfg.static_key),
+        compact, rgb,
+    )
+    assert out[1].shape == (2, *ops.mask.shape)

@@ -104,6 +104,42 @@ def test_sharded_matches_batched_byte_identical(tmp_path):
                 assert open(pb, "rb").read() == open(ps, "rb").read(), pb
 
 
+def test_fallback_respects_weights():
+    """An oversized segment (no bucket fits) falls back to a full-frame solve
+    inside run_tasks; that solve must use the caller's energy weights, not the
+    defaults (regression: batch.py's fallback once dropped the weights
+    argument to build_compact)."""
+    from arap_flow_tpu.io.constraints import add_border_pins
+    from arap_flow_tpu.models.arap import ArapDeformer
+    from arap_flow_tpu.ops.energy import ArapWeights
+    from arap_flow_tpu.pipeline.batch import make_task, run_tasks
+
+    Hs, Ws = 48, 64
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 255, (Hs, Ws, 3)).astype(np.uint8)
+    mask = np.full((Hs, Ws), 255, np.uint8)
+    mask[4:44, 4:60] = 0  # nearly the whole frame: no bucket fits
+    cons = np.array([[20, 20, 24, 23], [40, 30, 44, 33]], np.int32)
+    weights = ArapWeights(w_fit=10.0, w_reg=0.5)
+    cfg = CFG._replace(backend="xla")
+
+    assert make_task(0, 0, rgb, mask, cons, weights) is None
+    pinned = add_border_pins(cons, Ws, Hs)
+    out = run_tasks(
+        [], [(0, 0, rgb, mask, pinned)], cfg, weights=weights
+    )[(0, 0)]
+
+    ref = ArapDeformer(cfg._replace(backend="xla"), weights).deform(
+        rgb, mask, cons
+    )
+    np.testing.assert_allclose(out.flow, ref.flow, atol=1e-5)
+    # and the weights demonstrably matter: default weights give a different flow
+    ref_default = ArapDeformer(cfg._replace(backend="xla")).deform(
+        rgb, mask, cons
+    )
+    assert np.abs(ref.flow - ref_default.flow).max() > 0.05
+
+
 def test_batched_mixed_resolutions(tmp_path):
     """Without --size, one batched chunk can span sequences of different
     resolutions; the batched matcher must group by shape instead of aborting
