@@ -730,7 +730,13 @@ def main_pipeline(
         if all(osp.exists(l) for l in line.split(" "))
     ]
     os.makedirs(flags.output, exist_ok=True)
-    with open(osp.join(flags.output, "all_files.list"), "w") as f:
+    # multi-host runs share the output tree: each shard writes its own list
+    # (disjoint union over shards = the unsharded list; cat them for training)
+    name = (
+        "all_files.list" if flags.shard is None
+        else f"all_files.list.{flags.shard[0]}of{flags.shard[1]}"
+    )
+    with open(osp.join(flags.output, name), "w") as f:
         f.write("\n".join(out_paths))
     return out_paths
 

@@ -104,6 +104,52 @@ def test_sharded_matches_batched_byte_identical(tmp_path):
                 assert open(pb, "rb").read() == open(ps, "rb").read(), pb
 
 
+def test_shard_times_sharded_matches_single_host(tmp_path):
+    """--shard I/N (multi-host scan split) composed with --mode sharded (the
+    per-host device mesh): two 'hosts' writing into the SAME output tree must
+    reproduce a single-host batched run byte-for-byte, and their per-shard
+    list files must disjoint-union to the full set (the reference's
+    filesystem-shared multi-GPU farm semantics, para_gen.py:560-567)."""
+    import jax
+
+    if len(jax.devices()) < 2:
+        import pytest
+
+        pytest.skip("needs the virtual multi-device mesh")
+    inp = str(tmp_path / "data")
+    _make_dataset(inp, n_frames=4, two_objects=True)
+    cfg = CFG._replace(backend="xla")
+    out_1 = str(tmp_path / "out_single")
+    out_s = str(tmp_path / "out_sharded")
+    main_pipeline(
+        PipelineFlags(input=inp, output=out_1, fd=1, multseg=True, seed=0,
+                      mode="batched"),
+        solver_cfg=cfg,
+    )
+    for i in range(2):
+        main_pipeline(
+            PipelineFlags(input=inp, output=out_s, fd=1, multseg=True, seed=0,
+                          mode="sharded", shard=(i, 2)),
+            solver_cfg=cfg,
+        )
+    lst_1 = open(osp.join(out_1, "all_files.list")).read().splitlines()
+    shard_lines = []
+    for i in range(2):
+        shard_lines += open(
+            osp.join(out_s, f"all_files.list.{i}of2")
+        ).read().splitlines()
+    assert sorted(
+        l.replace(out_s, out_1) for l in shard_lines
+    ) == sorted(lst_1)
+    assert len(shard_lines) == len(set(shard_lines)) == len(lst_1) == 3
+    for sub in ("Flow", "wRGB", "wMasks", "inpRGB", "inpMasks"):
+        for root, _, files in os.walk(osp.join(out_1, sub)):
+            for f in files:
+                p1 = osp.join(root, f)
+                ps = p1.replace(out_1, out_s)
+                assert open(p1, "rb").read() == open(ps, "rb").read(), p1
+
+
 def test_fallback_respects_weights():
     """An oversized segment (no bucket fits) falls back to a full-frame solve
     inside run_tasks; that solve must use the caller's energy weights, not the
