@@ -93,31 +93,58 @@ def _solve_and_raster(ops, rgb_f, cfg: SolverConfig):
 
 
 # fixed crop bucket shapes: a BOUNDED set of compiled program shapes (every
-# novel shape costs an XLA/Mosaic compile — minutes on some setups)
-CROP_BUCKETS: tuple = ((128, 256), (192, 384), (256, 384), (256, 512), (384, 640), (512, 896))
+# novel shape costs an XLA/Mosaic compile — minutes on some setups). Widths
+# are multiples of 128 (TPU lane dim — anything else pads to the next vreg
+# boundary anyway); heights step by 32 where segments cluster.
+CROP_BUCKETS: tuple = (
+    (128, 256), (160, 256), (192, 256), (192, 384), (224, 384), (256, 384),
+    (256, 512), (320, 512), (384, 640), (512, 896),
+)
+
+
+def directional_pads(
+    cons: np.ndarray, margin: int = 8
+) -> tuple[int, int, int, int]:
+    """Per-side crop margins (top, bottom, left, right) from the actual
+    constraint displacements: the crop only needs landing area where warped
+    pixels can actually go (a symmetric max-|disp| pad wastes up to ~25% of
+    the solved area; solve exactness itself only needs the 1-px rim —
+    docs/PARITY.md exactness lemmas)."""
+    if len(cons) == 0:
+        return margin, margin, margin, margin
+    d = cons[:, 2:4].astype(np.int64) - cons[:, 0:2]
+    return (
+        margin + int(max(0, -d[:, 1].min())),
+        margin + int(max(0, d[:, 1].max())),
+        margin + int(max(0, -d[:, 0].min())),
+        margin + int(max(0, d[:, 0].max())),
+    )
+
+
+def place_span(lo: int, hi: int, size: int, limit: int) -> int:
+    """Start of a `size`-long window covering [lo, hi) inside [0, limit),
+    surplus split evenly."""
+    start = lo - (size - (hi - lo)) // 2
+    return min(max(start, 0), limit - size)
 
 
 def pick_bucket(
-    arap_mask: np.ndarray, disp: int, buckets: tuple = CROP_BUCKETS,
+    arap_mask: np.ndarray, cons: np.ndarray, buckets: tuple = CROP_BUCKETS,
     margin: int = 8,
 ) -> tuple | None:
-    """Choose the smallest fixed bucket covering the object bbox + displacement
-    margin and position it inside the frame. Returns (y0, x0, h, w) or None
-    when no bucket fits (caller solves full-frame)."""
+    """Choose the smallest fixed bucket covering the object bbox + directional
+    displacement margins and position it inside the frame. Returns
+    (y0, x0, h, w) or None when no bucket fits (caller solves full-frame)."""
     H, W = arap_mask.shape
     ys, xs = np.where(arap_mask == 0)
     if len(ys) == 0:
         return None
-    pad = margin + disp
-    need_h = int(ys.max()) - int(ys.min()) + 1 + 2 * pad
-    need_w = int(xs.max()) - int(xs.min()) + 1 + 2 * pad
+    pt, pb, pl, pr = directional_pads(cons, margin)
+    ylo, yhi = int(ys.min()) - pt, int(ys.max()) + 1 + pb
+    xlo, xhi = int(xs.min()) - pl, int(xs.max()) + 1 + pr
     for bh, bw in buckets:
-        if need_h <= bh <= H and need_w <= bw <= W:
-            cy = (int(ys.min()) + int(ys.max())) // 2
-            cx = (int(xs.min()) + int(xs.max())) // 2
-            y0 = min(max(cy - bh // 2, 0), H - bh)
-            x0 = min(max(cx - bw // 2, 0), W - bw)
-            return y0, x0, bh, bw
+        if yhi - ylo <= bh <= H and xhi - xlo <= bw <= W:
+            return place_span(ylo, yhi, bh, H), place_span(xlo, xhi, bw, W), bh, bw
     return None
 
 
@@ -214,16 +241,7 @@ class ArapDeformer:
         """Solve on the object's bucket-aligned bounding box (exact — see
         crop_box) and paste products back into full-frame canvases."""
         H, W = arap_mask.shape[:2]
-        disp = 0
-        if len(cons):
-            disp = int(
-                np.ceil(
-                    np.abs(
-                        cons[:, 2:4].astype(np.int64) - cons[:, 0:2]
-                    ).max()
-                )
-            )
-        box = pick_bucket(arap_mask, disp, self.crop_buckets)
+        box = pick_bucket(arap_mask, cons, self.crop_buckets)
         if box is None:
             h, w = H, W
             y0 = x0 = 0

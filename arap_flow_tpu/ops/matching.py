@@ -215,14 +215,16 @@ def _pyramid_flow_impl(
 
     g1, g2: (H, W) float32 grayscale. Returns (flow (2, H, W), score (H, W)).
 
-    `rotations`: static tuple of coarse-level rotation hypotheses (radians).
-    For each θ, image 2 is rotated by θ about its center and searched; where
-    that hypothesis wins on NCC score, the seeded target position becomes
-    t(p) = R_θ(p + d − c) + c, i.e. the rotation is folded back into the flow
-    field. The per-level refinement then tracks it exactly (the warp is a
-    per-pixel gather — a correct flow field reconstructs image 1 regardless
-    of local rotation). Runs at the coarsest level only: K hypotheses cost
-    K tiny searches (e.g. 53×30 px at 854×480, levels=4).
+    `rotations`: static tuple of coarse-level hypotheses — either angles θ
+    (radians) or affine triples (θ, sx, sy) mixing rotation with anisotropic
+    scale (the DeepMatching-style tolerance to local STRETCH: ~50% local
+    stretch destroys rigid-shift patch NCC, but a scaled resample restores
+    correlation wherever the warp is locally ≈ affine; the per-level
+    warp-and-refine then tracks the seeded field exactly). For each
+    hypothesis M = R_θ·diag(sx, sy), image 2 is resampled as
+    im2(M(q−c)+c) and searched; where that hypothesis wins on NCC score,
+    the seeded target becomes t(p) = M(p + d − c) + c. Runs at the coarsest
+    level only: K hypotheses cost K tiny batched searches.
     """
     # both pyramids in one batched op-set (this platform charges ~1 ms per
     # executed HLO op — see CLAUDE.md; stacking halves the op count)
@@ -238,44 +240,61 @@ def _pyramid_flow_impl(
     ccy, ccx = (Hc - 1) / 2.0, (Wc - 1) / 2.0
     gxc, gyc = _grid(Hc, Wc)
 
-    # ALL rotation hypotheses in one batched op-set: this platform charges a
-    # large fixed cost per HLO op (measured ~1 ms), so the former per-θ
-    # unroll (rotate + zscore + search each) dominated the matcher's device
-    # time. The rotated sampling positions are static — one gather builds
-    # the whole (R, Hc, Wc) stack — and vmap keeps the search at a constant
-    # op count regardless of R.
+    # normalize hypotheses to affine triples (θ, sx, sy); plain angles keep
+    # the historical rotation-only form
+    hyps = tuple(
+        (float(h), 1.0, 1.0) if np.isscalar(h) else
+        (float(h[0]), float(h[1]), float(h[2]))
+        for h in rotations
+    )
+    # ALL hypotheses in one batched op-set: this platform charges a large
+    # fixed cost per HLO op (measured ~1 ms), so a per-hypothesis unroll
+    # (resample + zscore + search each) would dominate the matcher's device
+    # time. The sampling positions are static — one gather builds the whole
+    # (K, Hc, Wc) stack — and vmap keeps the search at a constant op count
+    # regardless of K. M = R_θ·S: m = [[ca·sx, −sa·sy], [sa·sx, ca·sy]].
+    Ms = np.array(
+        [
+            [
+                [np.cos(th) * sx, -np.sin(th) * sy],
+                [np.sin(th) * sx, np.cos(th) * sy],
+            ]
+            for th, sx, sy in hyps
+        ]
+    )
     gx_np, gy_np = np.meshgrid(np.arange(Wc, dtype=np.float64),
                                np.arange(Hc, dtype=np.float64))
     qx = np.stack([
-        np.cos(th) * (gx_np - ccx) - np.sin(th) * (gy_np - ccy) + ccx
-        for th in rotations
+        m[0, 0] * (gx_np - ccx) + m[0, 1] * (gy_np - ccy) + ccx for m in Ms
     ])
     qy = np.stack([
-        np.sin(th) * (gx_np - ccx) + np.cos(th) * (gy_np - ccy) + ccy
-        for th in rotations
+        m[1, 0] * (gx_np - ccx) + m[1, 1] * (gy_np - ccy) + ccy for m in Ms
     ])
     g2r = _bilinear(pyr2[-1], jnp.asarray(qx, jnp.float32),
-                    jnp.asarray(qy, jnp.float32))  # (R, Hc, Wc)
+                    jnp.asarray(qy, jnp.float32))  # (K, Hc, Wc)
     z2 = _zscore(g2r, patch)
     du, dv, sc = jax.vmap(lambda z: _search(z1, z, coarse_r, patch))(z2)
     # fold each hypothesis back into image-2 coordinates:
-    # t(p) = R_θ((p + d) − c) + c (identity θ reduces to p + d exactly)
-    cas = jnp.asarray(np.cos(rotations), jnp.float32)[:, None, None]
-    sas = jnp.asarray(np.sin(rotations), jnp.float32)[:, None, None]
+    # t(p) = M((p + d) − c) + c (identity reduces to p + d exactly)
+    m00 = jnp.asarray(Ms[:, 0, 0], jnp.float32)[:, None, None]
+    m01 = jnp.asarray(Ms[:, 0, 1], jnp.float32)[:, None, None]
+    m10 = jnp.asarray(Ms[:, 1, 0], jnp.float32)[:, None, None]
+    m11 = jnp.asarray(Ms[:, 1, 1], jnp.float32)[:, None, None]
     px = gxc[None] + du
     py = gyc[None] + dv
-    ur_all = cas * (px - ccx) - sas * (py - ccy) + ccx - gxc[None]
-    vr_all = sas * (px - ccx) + cas * (py - ccy) + ccy - gyc[None]
-    # sequential hypothesis fold (tiny per-plane ops): a rotated hypothesis
-    # must beat the incumbent by a clear NCC margin — rotated resampling can
-    # spuriously edge out identity on low-texture patches (near-tie scores),
-    # which measurably biases flow on weakly textured frames. Ties go to the
-    # earlier (by convention identity-first) hypothesis.
+    ur_all = m00 * (px - ccx) + m01 * (py - ccy) + ccx - gxc[None]
+    vr_all = m10 * (px - ccx) + m11 * (py - ccy) + ccy - gyc[None]
+    # sequential hypothesis fold (tiny per-plane ops): a non-identity
+    # hypothesis must beat the incumbent by a clear NCC margin — resampling
+    # can spuriously edge out identity on low-texture patches (near-tie
+    # scores), which measurably biases flow on weakly textured frames. Ties
+    # go to the earlier (by convention identity-first) hypothesis.
     u, v, score = ur_all[0], vr_all[0], sc[0]
-    for r, theta in enumerate(rotations):
+    for r, (theta, sx_, sy_) in enumerate(hyps):
         if r == 0:
             continue
-        take = sc[r] > score + (0.0 if theta == 0.0 else 0.1)
+        ident = theta == 0.0 and sx_ == 1.0 and sy_ == 1.0
+        take = sc[r] > score + (0.0 if ident else 0.1)
         u = jnp.where(take, ur_all[r], u)
         v = jnp.where(take, vr_all[r], v)
         score = jnp.where(take, sc[r], score)
@@ -338,6 +357,19 @@ def pyramid_flow_bidir(g1, g2, radius: int = 100, patch: int = 12,
 # default rotation-hypothesis set: ±15°/±30° coarse seeds, symmetric
 DEFAULT_ROTATIONS = (0.0, 0.2618, -0.2618, 0.5236, -0.5236)
 
+# extended hypothesis bank for extreme-deformation matching (cat512-class
+# warps, scripts/stretch_ladder.py): rotations + isotropic and anisotropic
+# scale seeds covering ~±50% local stretch. Inverse-closed (1/1.5 = 0.667),
+# so pyramid_flow_bidir's backward pass sees the matching inverses. ~3× the
+# coarse-search cost of DEFAULT_ROTATIONS — opt-in, not the pipeline default
+# (fd 1-5 video + the dist<60 filter never needs it).
+STRETCH_HYPOTHESES = DEFAULT_ROTATIONS + (
+    (0.0, 1.25, 1.25), (0.0, 0.8, 0.8),
+    (0.0, 1.5, 1.5), (0.0, 0.667, 0.667),
+    (0.0, 1.4, 1.0), (0.0, 0.714, 1.0),
+    (0.0, 1.0, 1.4), (0.0, 1.0, 0.714),
+)
+
 
 def _device_grid_select(fwd, bwd, score, stride: int):
     """Stride-grid subsample + forward-backward error ON DEVICE.
@@ -363,19 +395,32 @@ def _device_grid_select(fwd, bwd, score, stride: int):
 
 @partial(jax.jit, static_argnames=("radius", "patch", "levels",
                                    "refine_radius", "rotations",
-                                   "refine_passes", "stride"))
+                                   "refine_passes", "stride", "downscale"))
 def match_grid(rgb1, rgb2, stride: int = 4, radius: int = 100,
                patch: int = 12, levels: int = 3, refine_radius: int = 2,
-               rotations: tuple = DEFAULT_ROTATIONS, refine_passes: int = 1):
+               rotations: tuple = DEFAULT_ROTATIONS, refine_passes: int = 1,
+               downscale: int = 1):
     """Bidirectional pyramid matching + device-side grid selection in ONE
     compiled program; returns (u, v, score, fb_err) stride-grid planes.
 
     Accepts uint8 RGB (cast on device): frame uploads are 4× smaller —
     ~10 MB/pair of f32 H2D through the ~25 MB/s tunnel was costing more
-    than the matcher's compute."""
+    than the matcher's compute.
+
+    `downscale` (power of 2): the whole match runs on a 2×2-average-pooled
+    image — radius/stride/patch/levels and the RETURNED planes are all in
+    DOWNSAMPLED units (callers scale displacements back). Halves the
+    dominant finest-level refine cost ~4×; precision loss is bounded by the
+    downsample factor and forgiven by the constraint filter + solver
+    (measured with the pipeline flow-accuracy gate)."""
     g1, g2 = to_gray(rgb1.astype(jnp.float32)), to_gray(rgb2.astype(jnp.float32))
     a = jnp.stack([g1, g2])
     b = jnp.stack([g2, g1])
+    ds = downscale
+    while ds > 1:
+        a = _avg_pool2(a)
+        b = _avg_pool2(b)
+        ds //= 2
     flows, scores = jax.vmap(
         lambda x, y: _pyramid_flow_impl(x, y, radius, patch, levels,
                                         refine_radius, rotations,
@@ -495,12 +540,21 @@ def _knn_coherence(xs, ys, u, v, keep, k=6, tol=4.0, rel=0.2):
 
 
 def _select_from_grids(u, v, sc, fb_err, H, W, stride, fb_threshold,
-                       score_threshold, radius, coherence: bool = True):
+                       score_threshold, radius, coherence: bool = True,
+                       off: int | None = None, step: int | None = None):
     """Host selection from stride-grid planes (gh, gw): thresholds, then two
-    local-coherence passes (the median stabilises after the first cleanup)."""
+    local-coherence passes (the median stabilises after the first cleanup).
+    `off`/`step` override the grid-plane → full-res coordinate mapping
+    (x = off + col·step; defaults reproduce the stride grid) — used by the
+    downscaled matching path."""
     gh, gw = u.shape
-    ys, xs = np.mgrid[stride // 2 : H : stride, stride // 2 : W : stride]
-    ys, xs = ys.ravel(), xs.ravel()
+    if off is None:
+        off = stride // 2
+    if step is None:
+        step = stride
+    ys, xs = np.mgrid[0:gh, 0:gw]
+    ys = (ys * step + off).ravel()
+    xs = (xs * step + off).ravel()
     u, v, sc, fb_err = (a.ravel() for a in (u, v, sc, fb_err))
     x2 = xs + u
     y2 = ys + v
@@ -571,6 +625,7 @@ def match_images(
     score_threshold: float = 0.3,
     rotations: tuple = None,
     refine_passes: int = 1,
+    downscale: int = 1,
 ) -> np.ndarray:
     """Sparse matches between two (H, W, 3) uint8 images.
 
@@ -579,27 +634,40 @@ def match_images(
     score_threshold (the reciprocal-verification analogue of DeepMatching's
     correlation-score pruning). Displacements are bounded by `radius`
     (≙ -ngh_rad 100, para_gen.py:234).
+
+    `downscale` (power of 2): run the whole match on a pooled image —
+    ~4×/octave cheaper on the dominant finest-level refine; output grid
+    density is preserved (the grid stride shrinks with the image) and
+    displacements are scaled back to full-res px. The fb threshold scales
+    with the factor (a half-res matcher is inherently ~2× less precise).
     """
     j1 = jnp.asarray(np.ascontiguousarray(rgb1.transpose(2, 0, 1)))
     j2 = jnp.asarray(np.ascontiguousarray(rgb2.transpose(2, 0, 1)))
     H_, W_ = rgb1.shape[:2]
-    radius, levels = clamp_match_params(H_, W_, radius, patch, levels)
+    ds = max(1, int(downscale))
+    stride_d = max(1, stride // ds)
+    rad_d, levels = clamp_match_params(
+        H_ // ds, W_ // ds, int(np.ceil(radius / ds)), patch, levels
+    )
     import os as _os
     import time as _time
 
     if rotations is None:
         rotations = DEFAULT_ROTATIONS
     _t0 = _time.time()
-    u, v, sg, fb = match_grid(j1, j2, stride=stride, radius=radius,
+    u, v, sg, fb = match_grid(j1, j2, stride=stride_d, radius=rad_d,
                               patch=patch, levels=levels,
                               rotations=rotations,
-                              refine_passes=refine_passes)
+                              refine_passes=refine_passes, downscale=ds)
     u, v, sg, fb = (np.asarray(a) for a in (u, v, sg, fb))
     if _os.environ.get("ARAP_PROFILE"):
         print(f"  [match] device+d2h {_time.time() - _t0:.2f}s "
-              f"(levels={levels} radius={radius})", flush=True)
-    return _select_from_grids(u, v, sg, fb, H_, W_, stride, fb_threshold,
-                              score_threshold, radius)
+              f"(levels={levels} radius={rad_d} ds={ds})", flush=True)
+    return _select_from_grids(
+        u * ds, v * ds, sg, fb * ds, H_, W_, stride,
+        fb_threshold * ds, score_threshold, radius,
+        off=ds * (stride_d // 2), step=ds * stride_d,
+    )
 
 
 def write_matches(path, matches: np.ndarray) -> None:

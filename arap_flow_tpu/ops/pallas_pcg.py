@@ -89,6 +89,61 @@ def _apply_jtj_rolls(pox, poy, pa, vm, s, c, fit, wf2, wr2):
     return out_x + wr2 * acc_x, out_y + wr2 * acc_y, wr2 * acc_a
 
 
+def _precompute_const_planes(s, c, vm_list, fit, wf2, wr2):
+    """Loop-constant planes of the factored JtJ apply (see _jtj_factored).
+
+    Returns (gx[4], gy[4], fitw, TxW, TyW, degw):
+      gx_k/gy_k = wr2·v_k·t(a_j)     (rolled-trig gather weights)
+      fitw = wf2·fit                  (fit-term self coupling)
+      TxW  = wr2·Σ_k v_k·tx_k, TyW = wr2·Σ_k v_k·ty_k  (offset↔angle coupling)
+      degw = wr2·deg                  (angle self coupling)
+    """
+    gx, gy = [], []
+    for k, (dy, dx) in enumerate(DIRS):
+        sj = _roll2(s, dy, dx)
+        cj = _roll2(c, dy, dx)
+        txj, tyj = _t_signfold(dy, dx, sj, cj)
+        gx.append(wr2 * vm_list[k] * txj)
+        gy.append(wr2 * vm_list[k] * tyj)
+    v0, v1, v2, v3 = vm_list
+    deg = (v0 + v1) + (v2 + v3)
+    fitw = wf2 * fit
+    TxW = wr2 * (s * (v1 - v0) + c * (v3 - v2))
+    TyW = wr2 * (c * (v0 - v1) + s * (v3 - v2))
+    degw = wr2 * deg
+    return gx, gy, fitw, TxW, TyW, degw
+
+
+def _jtj_factored(px, py, pa, s, c, vm_list, gx, gy, fitw, TxW, TyW, degw,
+                  wr2):
+    """JtJ·p with the loop-constant couplings hoisted out of the iteration
+    (~60 VPU ops/px vs ~100 for the naive per-direction form; same 12 rolls):
+      apx = fitw·px + 2wr2·Σ d_k + TxW·pa + Σ gx_k·paj_k,  d_k = v_k(px−pxj_k)
+      apa = wr2·(Σ tx_k·d_k + Σ ty_k·e_k) + degw·pa
+    with tx_k ∈ {±s, ±c} folded to sign patterns over the shared masked
+    differences d_k/e_k. NUMERICS: neighbor differences are computed FIRST
+    (px − pxj is exact-ish for nearby values); factoring them as deg·px −
+    Σ v·pxj cancels two large products and measurably degrades the truncated
+    400-iter trajectory (cat512 EPE 0.064 → 0.095 px — do not regroup)."""
+    d = []
+    e = []
+    for k, (dy, dx) in enumerate(DIRS):
+        d.append(vm_list[k] * (px - _roll2(px, dy, dx)))
+        e.append(vm_list[k] * (py - _roll2(py, dy, dx)))
+    paj = [_roll2(pa, dy, dx) for dy, dx in DIRS]
+    Lx = (d[0] + d[1]) + (d[2] + d[3])
+    Ly = (e[0] + e[1]) + (e[2] + e[3])
+    # Σ tx_k·d_k with tx = (−s, s, −c, c) per DIRS; ty = (c, −c, −s, s)
+    Ax = s * (d[1] - d[0]) + c * (d[3] - d[2])
+    Ay = c * (e[0] - e[1]) + s * (e[3] - e[2])
+    Gx = (gx[0] * paj[0] + gx[1] * paj[1]) + (gx[2] * paj[2] + gx[3] * paj[3])
+    Gy = (gy[0] * paj[0] + gy[1] * paj[1]) + (gy[2] * paj[2] + gy[3] * paj[3])
+    apx = fitw * px + (2.0 * wr2) * Lx + TxW * pa + Gx
+    apy = fitw * py + (2.0 * wr2) * Ly + TyW * pa + Gy
+    apa = wr2 * (Ax + Ay) + degw * pa
+    return apx, apy, apa
+
+
 def _pcg_kernel(
     # inputs
     b_ref,      # (3, H, W) rhs = −JtF
@@ -104,23 +159,27 @@ def _pcg_kernel(
     # scratch
     r_ref,      # (3, H, W)
     p_ref,      # (3, H, W)
-    ap_ref,     # (3, H, W)
-    sj_ref,     # (4, H, W) pre-rolled sin per direction
-    cj_ref,     # (4, H, W) pre-rolled cos per direction
+    gx_ref,     # (4, H, W) wr2·v·txj per direction (loop constant)
+    gy_ref,     # (4, H, W) wr2·v·tyj per direction (loop constant)
+    k_ref,      # (4, H, W) [fitw, TxW, TyW, degw] factored couplings
 ):
     wf2 = w_ref[0, 0]
     wr2 = w_ref[0, 1]
     s = s_ref[:]
     c = c_ref[:]
-    vm = vm_ref[:]
-    fit = fit_ref[:]
+    vm = [vm_ref[0], vm_ref[1], vm_ref[2], vm_ref[3]]
     pre = pre_ref[:]
 
-    # the linearisation trig planes are loop constants: roll them ONCE
-    # (saves 8 of the 20 rolls in every PCG iteration)
-    for k, (dy, dx) in enumerate(DIRS):
-        sj_ref[k] = _roll2(s, dy, dx)
-        cj_ref[k] = _roll2(c, dy, dx)
+    gx, gy, fitw, TxW, TyW, degw = _precompute_const_planes(
+        s, c, vm, fit_ref[:], wf2, wr2
+    )
+    for k in range(4):
+        gx_ref[k] = gx[k]
+        gy_ref[k] = gy[k]
+    k_ref[0] = fitw
+    k_ref[1] = TxW
+    k_ref[2] = TyW
+    k_ref[3] = degw
 
     r0 = b_ref[:]
     z0 = pre * r0
@@ -130,34 +189,32 @@ def _pcg_kernel(
     rz0 = jnp.sum(r0 * z0)
 
     def body(_, rz):
-        p = p_ref[:]
-        px, py, pa = p[0], p[1], p[2]
-        ax = wf2 * fit * px
-        ay = wf2 * fit * py
-        accx = jnp.zeros_like(px)
-        accy = jnp.zeros_like(px)
-        aa = jnp.zeros_like(pa)
-        for k, (dy, dx) in enumerate(DIRS):
-            v = vm[k]
-            tx, ty = _t_signfold(dy, dx, s, c)
-            txj, tyj = _t_signfold(dy, dx, sj_ref[k], cj_ref[k])
-            dox = px - _roll2(px, dy, dx)
-            doy = py - _roll2(py, dy, dx)
-            paj = _roll2(pa, dy, dx)
-            accx = accx + v * (2.0 * dox + pa * tx + paj * txj)
-            accy = accy + v * (2.0 * doy + pa * ty + paj * tyj)
-            aa = aa + v * (tx * dox + ty * doy + pa)
-        ap = jnp.stack([ax + wr2 * accx, ay + wr2 * accy, wr2 * aa])
-        ap_ref[:] = ap
-        pap = jnp.sum(p * ap)
+        px, py, pa = p_ref[0], p_ref[1], p_ref[2]
+        apx, apy, apa = _jtj_factored(
+            px, py, pa, s, c, vm,
+            [gx_ref[0], gx_ref[1], gx_ref[2], gx_ref[3]],
+            [gy_ref[0], gy_ref[1], gy_ref[2], gy_ref[3]],
+            k_ref[0], k_ref[1], k_ref[2], k_ref[3], wr2,
+        )
+        pap = jnp.sum(px * apx + py * apy + pa * apa)
         alpha = jnp.where(pap > 0.0, rz / pap, 0.0)
-        delta_ref[:] = delta_ref[:] + alpha * p
-        r = r_ref[:] - alpha * ap
-        r_ref[:] = r
-        z = pre * r
-        rz_new = jnp.sum(z * r)
+        delta_ref[0] = delta_ref[0] + alpha * px
+        delta_ref[1] = delta_ref[1] + alpha * py
+        delta_ref[2] = delta_ref[2] + alpha * pa
+        rx = r_ref[0] - alpha * apx
+        ry = r_ref[1] - alpha * apy
+        ra = r_ref[2] - alpha * apa
+        r_ref[0] = rx
+        r_ref[1] = ry
+        r_ref[2] = ra
+        zx = pre[0] * rx
+        zy = pre[1] * ry
+        za = pre[2] * ra
+        rz_new = jnp.sum(zx * rx + zy * ry + za * ra)
         beta = jnp.where(rz > 0.0, rz_new / rz, 0.0)
-        p_ref[:] = z + beta * p
+        p_ref[0] = zx + beta * px
+        p_ref[1] = zy + beta * py
+        p_ref[2] = za + beta * pa
         return rz_new
 
     jax.lax.fori_loop(0, n_ref[0, 0], body, rz0, unroll=False)
@@ -196,7 +253,7 @@ def pcg_pallas(
         scratch_shapes=[
             pltpu.VMEM((3, H, W), jnp.float32),
             pltpu.VMEM((3, H, W), jnp.float32),
-            pltpu.VMEM((3, H, W), jnp.float32),
+            pltpu.VMEM((4, H, W), jnp.float32),
             pltpu.VMEM((4, H, W), jnp.float32),
             pltpu.VMEM((4, H, W), jnp.float32),
         ],
@@ -207,9 +264,8 @@ def pcg_pallas(
     )(b, pre, s, c, vmasks, fitmask, w, n)
 
 
-# resident planes: 13 input + 3 output + 9 scratch + live temporaries
-# (measured: the 384×512 compile asked for ~30 plane-equivalents)
-_PLANES = 30
+# resident planes: 13 input + 3 output + 18 scratch + live temporaries
+_PLANES = 31
 # Empirically v5e VMEM accommodates ≫ the 16 MB scoped-vmem compiler default:
 # full-frame 480×896 (~50 MB resident) compiles and runs 1.4× faster than the
 # XLA path (scripts/pallas_check.py probe). Budget kept below that with margin.
@@ -231,22 +287,30 @@ def _pcg_kernel_batched(
     w_ref,      # (1, 2) SMEM
     n_ref,      # (1, 1) SMEM
     delta_ref,  # (B, 3, H, W)
-    r_ref, p_ref, ap_ref,       # scratch (B, 3, H, W)
-    sj_ref, cj_ref,             # scratch (B, 4, H, W)
+    r_ref, p_ref,               # scratch (B, 3, H, W)
+    gx_ref, gy_ref,             # scratch (B, 4, H, W) loop-constant weights
+    k_ref,                      # scratch (B, 4, H, W) [fitw, TxW, TyW, degw]
 ):
-    """Multi-problem resident PCG: the α/β dependency chain is latency-bound
-    for small problems (~9µs/iteration regardless of size), so B independent
-    per-problem chains are interleaved in ONE kernel iteration (a static
-    Python loop over problems; all tensor ops stay 2D — Mosaic's layout pass
-    rejects rolls on >3D refs)."""
+    """Multi-problem resident PCG: B independent per-problem chains are
+    interleaved in ONE kernel iteration (a static Python loop over problems;
+    all tensor ops stay 2D — Mosaic's layout pass rejects rolls on >3D refs).
+    Same factored JtJ as the single-problem kernel."""
     wf2 = w_ref[0, 0]
     wr2 = w_ref[0, 1]
     B = s_ref.shape[0]
 
     for bi in range(B):
-        for k, (dy, dx) in enumerate(DIRS):
-            sj_ref[bi, k] = _roll2(s_ref[bi], dy, dx)
-            cj_ref[bi, k] = _roll2(c_ref[bi], dy, dx)
+        vm = [vm_ref[bi, 0], vm_ref[bi, 1], vm_ref[bi, 2], vm_ref[bi, 3]]
+        gx, gy, fitw, TxW, TyW, degw = _precompute_const_planes(
+            s_ref[bi], c_ref[bi], vm, fit_ref[bi], wf2, wr2
+        )
+        for k in range(4):
+            gx_ref[bi, k] = gx[k]
+            gy_ref[bi, k] = gy[k]
+        k_ref[bi, 0] = fitw
+        k_ref[bi, 1] = TxW
+        k_ref[bi, 2] = TyW
+        k_ref[bi, 3] = degw
         r0 = b_ref[bi]
         z0 = pre_ref[bi] * r0
         r_ref[bi] = r0
@@ -262,38 +326,34 @@ def _pcg_kernel_batched(
     def body(_, rz):
         rz_new_parts = []
         for bi in range(B):
-            s = s_ref[bi]
-            c = c_ref[bi]
-            fit = fit_ref[bi]
-            p = p_ref[bi]
-            px, py, pa = p[0], p[1], p[2]
-            ax = wf2 * fit * px
-            ay = wf2 * fit * py
-            accx = jnp.zeros_like(px)
-            accy = jnp.zeros_like(px)
-            aa = jnp.zeros_like(pa)
-            for k, (dy, dx) in enumerate(DIRS):
-                v = vm_ref[bi, k]
-                tx, ty = _t_signfold(dy, dx, s, c)
-                txj, tyj = _t_signfold(dy, dx, sj_ref[bi, k], cj_ref[bi, k])
-                dox = px - _roll2(px, dy, dx)
-                doy = py - _roll2(py, dy, dx)
-                paj = _roll2(pa, dy, dx)
-                accx = accx + v * (2.0 * dox + pa * tx + paj * txj)
-                accy = accy + v * (2.0 * doy + pa * ty + paj * tyj)
-                aa = aa + v * (tx * dox + ty * doy + pa)
-            ap = jnp.stack([ax + wr2 * accx, ay + wr2 * accy, wr2 * aa])
-            ap_ref[bi] = ap
-            pap = jnp.sum(p * ap)
+            px, py, pa = p_ref[bi, 0], p_ref[bi, 1], p_ref[bi, 2]
+            vm = [vm_ref[bi, 0], vm_ref[bi, 1], vm_ref[bi, 2], vm_ref[bi, 3]]
+            apx, apy, apa = _jtj_factored(
+                px, py, pa, s_ref[bi], c_ref[bi], vm,
+                [gx_ref[bi, 0], gx_ref[bi, 1], gx_ref[bi, 2], gx_ref[bi, 3]],
+                [gy_ref[bi, 0], gy_ref[bi, 1], gy_ref[bi, 2], gy_ref[bi, 3]],
+                k_ref[bi, 0], k_ref[bi, 1], k_ref[bi, 2], k_ref[bi, 3], wr2,
+            )
+            pap = jnp.sum(px * apx + py * apy + pa * apa)
             rz_b = rz[bi]
             alpha = jnp.where(pap > 0.0, rz_b / pap, 0.0)
-            delta_ref[bi] = delta_ref[bi] + alpha * p
-            r = r_ref[bi] - alpha * ap
-            r_ref[bi] = r
-            z = pre_ref[bi] * r
-            rz_new_b = jnp.sum(z * r)
+            delta_ref[bi, 0] = delta_ref[bi, 0] + alpha * px
+            delta_ref[bi, 1] = delta_ref[bi, 1] + alpha * py
+            delta_ref[bi, 2] = delta_ref[bi, 2] + alpha * pa
+            rx = r_ref[bi, 0] - alpha * apx
+            ry = r_ref[bi, 1] - alpha * apy
+            ra = r_ref[bi, 2] - alpha * apa
+            r_ref[bi, 0] = rx
+            r_ref[bi, 1] = ry
+            r_ref[bi, 2] = ra
+            zx = pre_ref[bi, 0] * rx
+            zy = pre_ref[bi, 1] * ry
+            za = pre_ref[bi, 2] * ra
+            rz_new_b = jnp.sum(zx * rx + zy * ry + za * ra)
             beta = jnp.where(rz_b > 0.0, rz_new_b / rz_b, 0.0)
-            p_ref[bi] = z + beta * p
+            p_ref[bi, 0] = zx + beta * px
+            p_ref[bi, 1] = zy + beta * py
+            p_ref[bi, 2] = za + beta * pa
             rz_new_parts.append(rz_new_b.reshape(1))
         return jnp.concatenate(rz_new_parts)
 
@@ -322,7 +382,7 @@ def pcg_pallas_batched(b, pre, s, c, vmasks, fitmask, wf2, wr2, iters,
         scratch_shapes=[
             pltpu.VMEM((B, 3, H, W), jnp.float32),
             pltpu.VMEM((B, 3, H, W), jnp.float32),
-            pltpu.VMEM((B, 3, H, W), jnp.float32),
+            pltpu.VMEM((B, 4, H, W), jnp.float32),
             pltpu.VMEM((B, 4, H, W), jnp.float32),
             pltpu.VMEM((B, 4, H, W), jnp.float32),
         ],

@@ -390,10 +390,10 @@ def _solve_batch_kernel_impl(ops, dyn, static_key, interpret=False):
 
 
 # VMEM planes for the batched kernel (inputs+outputs+scratch+temps), per
-# problem, and the Mosaic VMEM budget. Calibrated on hardware: B=8 at 256x384
-# and B=3 at 384x640 compile and run; B=10 at 256x384 (122 MB at 31 planes)
-# fails the 100 MB Mosaic limit.
-_BATCH_KERNEL_PLANES = 31
+# problem, and the Mosaic VMEM budget. Calibrated on hardware for the
+# factored kernel (36 structural+temp plane-equivalents/problem): B=8 at
+# 256x384 fails the 100 MB Mosaic limit, B=7 compiles; B=8 at 224x384 fits.
+_BATCH_KERNEL_PLANES = 36
 _BATCH_KERNEL_VMEM = 100 * 1024 * 1024
 
 

@@ -18,12 +18,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..io.constraints import add_border_pins
-from ..models.arap import DeformResult, crop_box, solve_and_raster_batch, _solve_and_raster
+from ..models.arap import DeformResult, pick_bucket, solve_and_raster_batch, _solve_and_raster
 from ..ops import energy as E
 from ..ops.solver import SolverConfig
 
 # bucket shapes (H, W): lane-friendly widths, covering typical DAVIS segments
-DEFAULT_BUCKETS = ((128, 256), (192, 384), (256, 384), (256, 512), (384, 640), (512, 896))
+from ..models.arap import CROP_BUCKETS as DEFAULT_BUCKETS
 
 
 def max_chunk_for(bucket: tuple, n_data: int = 1) -> int:
@@ -73,26 +73,11 @@ def make_task(
     cons = np.asarray(cons, np.int32).reshape(-1, 4)
     if pin_border:
         cons = add_border_pins(cons, W, H)
-    disp = 0
-    if len(cons):
-        disp = int(np.abs(cons[:, 2:4].astype(np.int64) - cons[:, :2]).max())
-    ys, xs = np.where(arap_mask == 0)
-    if len(ys) == 0:
+    box = pick_bucket(arap_mask, cons, buckets)
+    if box is None:
         return None
-    pad = 8 + disp
-    need_h = int(ys.max()) - int(ys.min()) + 1 + 2 * pad
-    need_w = int(xs.max()) - int(xs.min()) + 1 + 2 * pad
-    bucket = None
-    for bh, bw in buckets:
-        if need_h <= bh and need_w <= bw and bh <= H and bw <= W:
-            bucket = (bh, bw)
-            break
-    if bucket is None:
-        return None
-    bh, bw = bucket
-    y0, x0, _, _ = crop_box(arap_mask, cons, extra=disp, h_mult=bh, w_mult=bw)
-    y0 = min(max(y0, 0), H - bh)
-    x0 = min(max(x0, 0), W - bw)
+    y0, x0, bh, bw = box
+    bucket = (bh, bw)
     sub_mask = np.ascontiguousarray(arap_mask[y0 : y0 + bh, x0 : x0 + bw])
     sub_rgb = np.ascontiguousarray(rgb[y0 : y0 + bh, x0 : x0 + bw])
     shifted = cons.copy()
@@ -117,6 +102,120 @@ def make_task(
     )
 
 
+class BatchRunner:
+    """Streaming bucketed execution: add tasks as host prep produces them;
+    a bucket's chunk is DISPATCHED the moment it fills, so the device chews
+    on earlier chunks while the host still preps later ones (the reference
+    keeps GPUs fed the same way with --narap buffered pairs,
+    para_gen.py:560-567). finish() pads the remainders up a bounded
+    batch-size ladder, fetches everything, and pastes into full-frame
+    canvases.
+    """
+
+    def __init__(self, cfg: SolverConfig, timer=None, mesh=None,
+                 weights: E.ArapWeights = E.ArapWeights()):
+        from ..utils.profiling import StageTimer
+
+        self.cfg = cfg
+        self.timer = timer if timer is not None else StageTimer()
+        self.mesh = mesh
+        self.weights = weights
+        self.n_data = 1 if mesh is None else mesh.shape["data"]
+        self.buffers: dict[tuple, list[SegmentTask]] = {}
+        self.pending: list = []
+        self.out: dict[tuple, DeformResult] = {}
+
+    def _ladder(self, step: int) -> list[int]:
+        # bounded batch-size ladder per bucket: at most ~6 compiled batch
+        # shapes (a compile is 10-300s on this platform) and at most
+        # ~n_real-1 duplicate-solve waste (the old pad-to-step rule wasted
+        # up to step-2 solves, e.g. 8 real tasks padded to a step of 9).
+        # Sharded runs need multiples of the 'data' axis — every entry is.
+        return sorted(
+            {min(self.n_data * s, step) for s in (1, 2, 4, 8, 16, 24)}
+        )
+
+    def _dispatch(self, bucket, chunk_tasks, n_real):
+        with self.timer.stage("upload+stack"):
+            batched_ops = jax.tree.map(
+                lambda *ls: jnp.stack(ls), *[t.ops for t in chunk_tasks]
+            )
+            rgb_b = jnp.stack([t.rgb for t in chunk_tasks])
+        with self.timer.stage("solve+raster dispatch"):
+            xs, flows, wrgbs, wmasks = solve_and_raster_batch(
+                batched_ops, rgb_b, self.cfg, mesh=self.mesh
+            )
+        self.pending.append((chunk_tasks, n_real, flows, wrgbs, wmasks))
+
+    def add(self, task: SegmentTask) -> None:
+        buf = self.buffers.setdefault(task.bucket, [])
+        buf.append(task)
+        step = max_chunk_for(task.bucket, self.n_data)
+        if len(buf) >= step:
+            self._dispatch(task.bucket, buf[:step], step)
+            del buf[:step]
+
+    def add_fallback(self, pair_idx, seg_id, rgb, arap_mask, cons) -> None:
+        """Full-frame fallback solve (async dispatch; fetched in finish)."""
+        ops = E.build_compact(np.asarray(arap_mask), cons, self.weights)
+        rgb_u8 = jnp.asarray(np.ascontiguousarray(rgb.transpose(2, 0, 1)))
+        _, flow, wrgb, wmask = _solve_and_raster(ops, rgb_u8, self.cfg)
+        self.pending.append(((pair_idx, seg_id), None, flow, wrgb, wmask))
+
+    def finish(self) -> dict[tuple, DeformResult]:
+        # flush remainders, padded up the ladder by repeating the last task
+        for bucket, buf in self.buffers.items():
+            if not buf:
+                continue
+            step = max_chunk_for(bucket, self.n_data)
+            n_real = len(buf)
+            target = next(t for t in self._ladder(step) if t >= n_real)
+            chunk_tasks = list(buf)
+            while len(chunk_tasks) < target:
+                chunk_tasks = chunk_tasks + [chunk_tasks[-1]]
+            self._dispatch(bucket, chunk_tasks, n_real)
+        self.buffers.clear()
+
+        for entry in self.pending:
+            group, n_real, flows, wrgbs, wmasks = entry[0], entry[1], *entry[2:]
+            if n_real is None:  # fallback: group is the (pair, seg) key
+                with self.timer.stage("D2H fetch"):
+                    flow = np.asarray(flows)
+                    wrgb = np.asarray(wrgbs)
+                    wmask = np.asarray(wmasks)
+                self.out[group] = DeformResult(
+                    flow=flow.transpose(1, 2, 0),
+                    warped_rgb=wrgb.transpose(1, 2, 0).astype(np.uint8),
+                    warped_mask=wmask.astype(np.uint8),
+                )
+                continue
+            with self.timer.stage("D2H fetch"):
+                flows = np.asarray(flows)
+                wrgbs = np.asarray(wrgbs)
+                wmasks = np.asarray(wmasks)
+            with self.timer.stage("host paste"):
+                for i, t in enumerate(group[:n_real]):
+                    H, W = t.frame_hw
+                    bh, bw = t.bucket
+                    flow = np.zeros((H, W, 2), np.float32)
+                    flow[t.y0 : t.y0 + bh, t.x0 : t.x0 + bw] = (
+                        flows[i].transpose(1, 2, 0)
+                    )
+                    rgb = np.zeros((H, W, 3), np.uint8)
+                    rgb[t.y0 : t.y0 + bh, t.x0 : t.x0 + bw] = (
+                        wrgbs[i].transpose(1, 2, 0).astype(np.uint8)
+                    )
+                    mask = np.zeros((H, W), np.uint8)
+                    mask[t.y0 : t.y0 + bh, t.x0 : t.x0 + bw] = (
+                        wmasks[i].astype(np.uint8)
+                    )
+                    self.out[(t.pair_idx, t.seg_id)] = DeformResult(
+                        flow=flow, warped_rgb=rgb, warped_mask=mask
+                    )
+        self.pending.clear()
+        return self.out
+
+
 def run_tasks(
     tasks: list[SegmentTask],
     fallbacks: list[tuple],
@@ -138,80 +237,9 @@ def run_tasks(
     and chunks are sized/padded to a multiple of the axis size.
     Returns {(pair_idx, seg_id): DeformResult (full-frame canvases)}.
     """
-    from ..utils.profiling import StageTimer
-
-    timer = timer if timer is not None else StageTimer()
-    n_data = 1 if mesh is None else mesh.shape["data"]
-    out: dict[tuple, DeformResult] = {}
-
-    groups: dict[tuple, list[SegmentTask]] = {}
+    runner = BatchRunner(cfg, timer=timer, mesh=mesh, weights=weights)
     for t in tasks:
-        groups.setdefault(t.bucket, []).append(t)
-
-    chunked = []
-    for bucket, group in groups.items():
-        step = max_chunk_for(bucket, n_data)
-        for i in range(0, len(group), step):
-            chunk_tasks = group[i : i + step]
-            n_real = len(chunk_tasks)
-            # pad partial chunks by repeating the last task: one compiled
-            # batch shape per bucket instead of one per remainder size
-            # (a wasted duplicate solve costs ~0.1-0.5s; a compile costs
-            # 10-300s on this platform). Sharded runs additionally need the
-            # batch divisible by the 'data' axis (step is n_data-aligned, so
-            # only singleton chunks need the smaller n_data pad).
-            target = step if n_real > 1 else n_data
-            while len(chunk_tasks) < target:
-                chunk_tasks = chunk_tasks + [chunk_tasks[-1]]
-            chunked.append((bucket, chunk_tasks, n_real))
-
-    # dispatch ALL chunks first (jax dispatch is async), then fetch: the D2H
-    # of chunk k overlaps the device execution of later chunks
-    pending = []
-    for bucket, group, n_real in chunked:
-        with timer.stage("upload+stack"):
-            batched_ops = jax.tree.map(
-                lambda *ls: jnp.stack(ls), *[t.ops for t in group]
-            )
-            rgb_b = jnp.stack([t.rgb for t in group])
-        with timer.stage("solve+raster dispatch"):
-            xs, flows, wrgbs, wmasks = solve_and_raster_batch(
-                batched_ops, rgb_b, cfg, mesh=mesh
-            )
-        pending.append((group, n_real, flows, wrgbs, wmasks))
-
-    for group, n_real, flows, wrgbs, wmasks in pending:
-        with timer.stage("D2H fetch"):
-            flows = np.asarray(flows)
-            wrgbs = np.asarray(wrgbs)
-            wmasks = np.asarray(wmasks)
-        with timer.stage("host paste"):
-            for i, t in enumerate(group[:n_real]):
-                H, W = t.frame_hw
-                bh, bw = t.bucket
-                flow = np.zeros((H, W, 2), np.float32)
-                flow[t.y0 : t.y0 + bh, t.x0 : t.x0 + bw] = flows[i].transpose(
-                    1, 2, 0
-                )
-                rgb = np.zeros((H, W, 3), np.uint8)
-                rgb[t.y0 : t.y0 + bh, t.x0 : t.x0 + bw] = (
-                    wrgbs[i].transpose(1, 2, 0).astype(np.uint8)
-                )
-                mask = np.zeros((H, W), np.uint8)
-                mask[t.y0 : t.y0 + bh, t.x0 : t.x0 + bw] = wmasks[i].astype(
-                    np.uint8
-                )
-                out[(t.pair_idx, t.seg_id)] = DeformResult(
-                    flow=flow, warped_rgb=rgb, warped_mask=mask
-                )
-
+        runner.add(t)
     for pair_idx, seg_id, rgb, arap_mask, cons in fallbacks:
-        ops = E.build_compact(np.asarray(arap_mask), cons, weights)
-        rgb_u8 = jnp.asarray(np.ascontiguousarray(rgb.transpose(2, 0, 1)))
-        _, flow, wrgb, wmask = _solve_and_raster(ops, rgb_u8, cfg)
-        out[(pair_idx, seg_id)] = DeformResult(
-            flow=np.asarray(flow).transpose(1, 2, 0),
-            warped_rgb=np.asarray(wrgb).transpose(1, 2, 0).astype(np.uint8),
-            warped_mask=np.asarray(wmask).astype(np.uint8),
-        )
-    return out
+        runner.add_fallback(pair_idx, seg_id, rgb, arap_mask, cons)
+    return runner.finish()

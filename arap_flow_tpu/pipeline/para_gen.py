@@ -90,6 +90,7 @@ class PipelineFlags:
     mode: str = "simple"  # simple (per-pair) | batched (bucketed cross-pair)
     warmup: bool = False  # compile the standard bucket programs up front
     shard: tuple | None = None  # (i, n): this host takes pairs with idx%n==i
+    match_downscale: int = 1  # match on a 2^k-pooled image (faster, coarser)
 
 
 def scale_rotate(im: Image.Image, mk: Image.Image, size):
@@ -263,7 +264,9 @@ def run_matching(
         return read_matches(p.cstr_tmp)
     from ..ops.matching import match_images
 
-    return match_images(rgb1, rgb2, radius=100)[:, :4].astype(np.int32)
+    return match_images(
+        rgb1, rgb2, radius=100, downscale=flags.match_downscale
+    )[:, :4].astype(np.int32)
 
 
 def has_mask(msk1, msk2) -> bool:
@@ -459,7 +462,8 @@ def prep_chunk_batched(
                     d = decode_pair(flags, p)
                     if d is None:
                         continue
-                    m = match_images(d[4], d[5], radius=100)
+                    m = match_images(d[4], d[5], radius=100,
+                                     downscale=flags.match_downscale)
                     prematched[id(p)] = m[:, :4].astype(np.int32)
                 except Exception as e:
                     log.warning("pair matching failed: %s (%s)",
@@ -556,7 +560,8 @@ def process_chunk_batched(
 
 
 def prewarm(cfg, weights, buckets=None, batched: bool = True,
-            frame_shape: tuple | None = None) -> None:
+            frame_shape: tuple | None = None,
+            match_downscale: int = 1) -> None:
     """Compile the standard bucket solver programs on dummy problems before
     the first real pair arrives (--warmup). One-time XLA/Mosaic compiles cost
     40-300 s each on cold caches; prewarming moves them ahead of the
@@ -598,9 +603,15 @@ def prewarm(cfg, weights, buckets=None, batched: bool = True,
         H, W = frame_shape
         # same clamps as match_images: otherwise small frames warm a program
         # (levels/radius) different from the one actually run
-        radius, levels = clamp_match_params(H, W)
+        ds = max(1, int(match_downscale))
+        radius, levels = clamp_match_params(
+            H // ds, W // ds, int(np.ceil(100 / ds))
+        )
         z = jnp.zeros((3, H, W), jnp.uint8)
-        jax.block_until_ready(match_grid(z, z, radius=radius, levels=levels)[0])
+        jax.block_until_ready(
+            match_grid(z, z, stride=max(1, 4 // ds), radius=radius,
+                       levels=levels, downscale=ds)[0]
+        )
         print(f"warmup matcher {H}x{W}: {time.time() - t0:.1f}s", flush=True)
     print(f"warmup done in {time.time() - t_all:.1f}s", flush=True)
 
@@ -630,7 +641,8 @@ def main_pipeline(
         fshape = (flags.size[1], flags.size[0]) if flags.size else None
         prewarm(deformer.cfg, deformer.weights,
                 batched=flags.mode in ("batched", "sharded"),
-                frame_shape=fshape)
+                frame_shape=fshape,
+                match_downscale=flags.match_downscale)
     triples = []
     begin = time.time()
 
@@ -783,6 +795,12 @@ def parse_args(argv=None) -> PipelineFlags:
                         help="compile the standard bucket solver programs "
                         "before processing (hides the one-time XLA/Mosaic "
                         "compiles on cold caches)")
+    parser.add_argument("--match_downscale", type=int, default=1,
+                        choices=[1, 2, 4],
+                        help="run the native matcher on a 2x2^k-pooled "
+                        "image: ~4x/octave cheaper, slightly coarser "
+                        "matches (the constraint filter + solver absorb "
+                        "the precision loss)")
     a = parser.parse_args(argv)
     assert 0 < a.fd < 20, "Invalid fd number!"
     return PipelineFlags(
@@ -802,6 +820,7 @@ def parse_args(argv=None) -> PipelineFlags:
         mode=a.mode,
         warmup=a.warmup,
         shard=tuple(int(x) for x in a.shard.split("/")) if a.shard else None,
+        match_downscale=a.match_downscale,
     )
 
 

@@ -91,22 +91,34 @@ def main():
     # per-iteration dependency chain is latency-bound; B problems share it —
     # bitwise identical to per-problem solves, ~1.4x faster)
     from arap_flow_tpu.ops.energy import ArapWeights
-    from arap_flow_tpu.pipeline.batch import make_task, run_tasks
+    from arap_flow_tpu.pipeline.batch import BatchRunner, make_task
     from arap_flow_tpu.utils.profiling import StageTimer
 
     def run_all(timer=None):
-        tasks, fallbacks = [], []
+        # STREAMED: each task is handed to the runner as soon as its host
+        # prep finishes — full chunks dispatch immediately, so the device
+        # executes earlier chunks while the host still preps later problems
+        # (the same economics as the pipeline's chunk-prep overlap)
+        runner = BatchRunner(cfg, timer=timer)
         t0 = time.time()
-        for i, (rgb, mask, cons) in enumerate(problems):
+        # seg-major order: same-shaped segments are consecutive, so the first
+        # bucket chunk fills (and dispatches) after ~half the prep instead of
+        # after all of it
+        order = [
+            i for j in range(len(SEG_SHAPES))
+            for i in range(j, len(problems), len(SEG_SHAPES))
+        ]
+        for i in order:
+            rgb, mask, cons = problems[i]
             t = make_task(i, 0, rgb, mask, cons, ArapWeights())
             if t is not None:
-                tasks.append(t)
+                runner.add(t)
             else:
-                fallbacks.append((i, 0, rgb, mask, cons))
+                runner.add_fallback(i, 0, rgb, mask, cons)
         if timer is not None:
             timer.totals["host prep (crop+operands)"] += time.time() - t0
             timer.counts["host prep (crop+operands)"] += 1
-        return run_tasks(tasks, fallbacks, cfg, timer=timer)
+        return runner.finish()
 
     run_all()  # compile
     times = []

@@ -65,19 +65,25 @@ def main():
     make_dataset(osp.join(root, "data"), n_pairs + 1)
 
     # each mode runs twice: first pass pays (or cache-hits) the compiles,
-    # second pass is the warm steady-state number
-    for mode, run in (("simple", "cold"), ("simple", "warm"),
-                      ("batched", "cold"), ("batched", "warm")):
-        out = osp.join(root, f"out_{mode}_{run}")
+    # second pass is the warm steady-state number. ds2 = the half-resolution
+    # matcher (--match_downscale 2): ~4x cheaper matching, accuracy still
+    # gated by check_flow_accuracy below.
+    cases = (("simple", "cold", 1), ("simple", "warm", 1),
+             ("simple-ds2", "cold", 2), ("simple-ds2", "warm", 2),
+             ("batched-ds2", "cold", 2), ("batched-ds2", "warm", 2),
+             ("batched", "cold", 1), ("batched", "warm", 1))
+    for name, run, ds in cases:
+        mode = name.split("-")[0]
+        out = osp.join(root, f"out_{name}_{run}")
         flags = PipelineFlags(
             input=osp.join(root, "data"), output=out, fd=1, multseg=True,
-            seed=0, mode=mode,
+            seed=0, mode=mode, match_downscale=ds,
         )
         t0 = time.time()
         triples = main_pipeline(flags)
         t = time.time() - t0
         print(
-            f"mode={mode} ({run}): {len(triples)} pairs in {t:.1f}s "
+            f"mode={name} ({run}): {len(triples)} pairs in {t:.1f}s "
             f"-> {len(triples) / t:.3f} pairs/s end-to-end",
             flush=True,
         )

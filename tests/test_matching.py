@@ -198,3 +198,105 @@ def test_device_grid_select_matches_host_oracle():
         H, W, 4, 1.5, 0.3, 16,
     )
     np.testing.assert_array_equal(got, want)
+
+
+def test_failure_frontier_50pct_stretch():
+    """Guard the documented matcher failure frontier (docs/PARITY.md): at
+    ~50% local stretch the NCC patch correlation degrades — COVERAGE drops in
+    the high-stretch regions, but the FB/score/coherence filters must keep
+    the surviving matches accurate. If a matcher change moves this boundary
+    (either way), this test says so."""
+    H, W = 128, 256
+    im1 = _texture(H, W, seed=11)
+    lam, amp = 60.0, 0.5 * 60.0 / (2 * np.pi)  # peak local stretch = 50%
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+    fwd_x = xx + amp * np.sin(2 * np.pi * xx / lam)
+    fwd_y = yy.copy()
+    # invert x' = x + A sin(2πx/λ) by fixed point (contraction: |A·2π/λ|<1)
+    inv_x = xx.copy()
+    for _ in range(25):
+        inv_x = xx - amp * np.sin(2 * np.pi * inv_x / lam)
+    inv_y = yy.copy()
+    im2 = _warp_bilinear(im1, inv_x, inv_y)
+    m = match_images(im1, im2, radius=16, levels=2, stride=4)
+    assert len(m) > 30
+    margin = 12
+    x1 = m[:, 0].astype(int)
+    y1 = m[:, 1].astype(int)
+    keep = (
+        (x1 >= margin) & (x1 < W - margin) & (y1 >= margin) & (y1 < H - margin)
+    )
+    m, x1, y1 = m[keep], x1[keep], y1[keep]
+    # survivors stay accurate (the filters do their job at the frontier)
+    err = np.hypot(m[:, 2] - m[:, 0] - (fwd_x[y1, x1] - x1),
+                   m[:, 3] - m[:, 1] - (fwd_y[y1, x1] - y1))
+    assert np.median(err) < 2.5, np.median(err)
+    # coverage drops where the local stretch is high (the documented failure
+    # mode: |d fwd_x/dx - 1| near 0.5), relative to the low-stretch regions
+    stretch = np.abs(amp * 2 * np.pi / lam * np.cos(2 * np.pi * xx / lam))
+    interior = np.zeros((H, W), bool)
+    interior[margin : H - margin, margin : W - margin] = True
+    hi = (stretch > 0.35) & interior
+    lo = (stretch < 0.15) & interior
+    cov = np.zeros((H, W), bool)
+    cov[y1, x1] = True
+    cov_hi = cov[hi].mean()
+    cov_lo = cov[lo].mean()
+    assert cov_lo > 0.01, cov_lo          # benign regions stay matchable
+    assert cov_hi < 0.8 * cov_lo, (cov_hi, cov_lo)  # the frontier is real
+
+
+def test_stretch_hypotheses_extend_frontier():
+    """A global 40% stretch: rigid-shift coarse seeds mismatch (the 50%-
+    stretch frontier), but the affine hypothesis bank (STRETCH_HYPOTHESES)
+    seeds a scaled resample and recovers the field — the DeepMatching-style
+    deformation tolerance (split-and-rescore analogue) this matcher uses."""
+    from arap_flow_tpu.ops.matching import STRETCH_HYPOTHESES
+
+    H, W = 128, 192
+    im1 = _texture(H, W, seed=13)
+    s = 1.4
+    cy, cx = H / 2, W / 2
+    yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
+    fwd_x = s * (xx - cx) + cx
+    fwd_y = s * (yy - cy) + cy
+    inv_x = (xx - cx) / s + cx
+    inv_y = (yy - cy) / s + cy
+    im2 = _warp_bilinear(im1, inv_x, inv_y)
+
+    def err_of(rotations):
+        m = match_images(im1, im2, radius=48, levels=2, stride=4,
+                         rotations=rotations)
+        margin = 16
+        x1 = m[:, 0].astype(int)
+        y1 = m[:, 1].astype(int)
+        keep = ((x1 >= margin) & (x1 < W - margin)
+                & (y1 >= margin) & (y1 < H - margin))
+        m, x1, y1 = m[keep], x1[keep], y1[keep]
+        if len(m) < 10:
+            return np.inf, len(m)
+        err = np.hypot(m[:, 2] - m[:, 0] - (fwd_x[y1, x1] - x1),
+                       m[:, 3] - m[:, 1] - (fwd_y[y1, x1] - y1))
+        return float(np.median(err)), len(m)
+
+    med_stretch, n_stretch = err_of(STRETCH_HYPOTHESES)
+    assert n_stretch > 50, n_stretch
+    assert med_stretch < 2.0, med_stretch
+
+
+def test_downscaled_matching_recovers_translation():
+    """downscale=2: matching runs on a pooled image; displacements come back
+    in FULL-res px on a full-density grid, within the coarser precision."""
+    H, W = 96, 128
+    im1 = _texture(H, W)
+    dx, dy = 10, -6
+    im2 = np.roll(np.roll(im1, dy, axis=0), dx, axis=1)
+    m = match_images(im1, im2, radius=24, levels=2, stride=4, downscale=2)
+    assert len(m) > 100
+    u = m[:, 2] - m[:, 0]
+    v = m[:, 3] - m[:, 1]
+    assert abs(np.median(u) - dx) <= 1 and abs(np.median(v) - dy) <= 1
+    good = (np.abs(u - dx) <= 2) & (np.abs(v - dy) <= 2)
+    assert good.mean() > 0.8, good.mean()
+    # source coordinates live on the full-res grid
+    assert m[:, 0].max() > W / 2 and m[:, 1].max() > H / 2
