@@ -97,8 +97,9 @@ def _solve_and_raster(ops, rgb_f, cfg: SolverConfig):
 # are multiples of 128 (TPU lane dim — anything else pads to the next vreg
 # boundary anyway); heights step by 32 where segments cluster.
 CROP_BUCKETS: tuple = (
-    (128, 256), (160, 256), (192, 256), (192, 384), (224, 384), (256, 384),
-    (256, 512), (320, 512), (384, 640), (512, 896),
+    (128, 256), (160, 256), (192, 256), (128, 384), (160, 384), (192, 384),
+    (208, 384), (224, 384), (256, 384), (256, 512), (320, 512), (384, 640),
+    (512, 896),
 )
 
 
@@ -130,18 +131,23 @@ def place_span(lo: int, hi: int, size: int, limit: int) -> int:
 
 def pick_bucket(
     arap_mask: np.ndarray, cons: np.ndarray, buckets: tuple = CROP_BUCKETS,
-    margin: int = 8,
+    margin: int = 8, bbox: tuple | None = None,
 ) -> tuple | None:
     """Choose the smallest fixed bucket covering the object bbox + directional
     displacement margins and position it inside the frame. Returns
-    (y0, x0, h, w) or None when no bucket fits (caller solves full-frame)."""
+    (y0, x0, h, w) or None when no bucket fits (caller solves full-frame).
+    `bbox` (ymin, ymax, xmin, xmax) skips the np.where scan when the caller
+    already has it."""
     H, W = arap_mask.shape
-    ys, xs = np.where(arap_mask == 0)
-    if len(ys) == 0:
-        return None
+    if bbox is None:
+        ys, xs = np.where(arap_mask == 0)
+        if len(ys) == 0:
+            return None
+        bbox = int(ys.min()), int(ys.max()), int(xs.min()), int(xs.max())
+    ymin, ymax, xmin, xmax = bbox
     pt, pb, pl, pr = directional_pads(cons, margin)
-    ylo, yhi = int(ys.min()) - pt, int(ys.max()) + 1 + pb
-    xlo, xhi = int(xs.min()) - pl, int(xs.max()) + 1 + pr
+    ylo, yhi = ymin - pt, ymax + 1 + pb
+    xlo, xhi = xmin - pl, xmax + 1 + pr
     for bh, bw in buckets:
         if yhi - ylo <= bh <= H and xhi - xlo <= bw <= W:
             return place_span(ylo, yhi, bh, H), place_span(xlo, xhi, bw, W), bh, bw
@@ -238,42 +244,46 @@ class ArapDeformer:
         )
 
     def _deform_cropped(self, rgb, arap_mask, cons) -> DeformResult:
-        """Solve on the object's bucket-aligned bounding box (exact — see
-        crop_box) and paste products back into full-frame canvases."""
+        """Solve on the object's TIGHT bucket and rasterize on the padded
+        canvas bucket (same decoupled path as the batched pipeline — the
+        deep PCG kernel never pays for the displacement landing margins;
+        exactness: docs/PARITY.md lemmas), pasting products back into
+        full-frame canvases."""
+        from ..pipeline.batch import make_task
+
         H, W = arap_mask.shape[:2]
-        box = pick_bucket(arap_mask, cons, self.crop_buckets)
-        if box is None:
-            h, w = H, W
-            y0 = x0 = 0
-        else:
-            y0, x0, h, w = box
-        sub_mask = np.ascontiguousarray(arap_mask[y0 : y0 + h, x0 : x0 + w])
-        sub_rgb = np.ascontiguousarray(rgb[y0 : y0 + h, x0 : x0 + w])
-        shifted = cons.copy()
-        shifted[:, 0] -= x0
-        shifted[:, 1] -= y0
-        shifted[:, 2] -= x0
-        shifted[:, 3] -= y0
-        inside = (
-            (shifted[:, 0] >= 0)
-            & (shifted[:, 0] < w)
-            & (shifted[:, 1] >= 0)
-            & (shifted[:, 1] < h)
+        t = make_task(0, 0, rgb, arap_mask, cons, self.weights,
+                      buckets=self.crop_buckets, pin_border=False)
+        if t is None:
+            # no bucket fits: full-frame solve
+            ops = E.build_compact(np.asarray(arap_mask), cons, self.weights)
+            rgb_u8 = jnp.asarray(np.ascontiguousarray(rgb.transpose(2, 0, 1)))
+            _, flow, wrgb, wmask = _solve_and_raster(ops, rgb_u8, self.cfg)
+            return DeformResult(
+                flow=np.asarray(flow).transpose(1, 2, 0),
+                warped_rgb=np.asarray(wrgb).transpose(1, 2, 0).astype(np.uint8),
+                warped_mask=np.asarray(wmask).astype(np.uint8),
+            )
+        offs = jnp.asarray([[t.y0 - t.cy0, t.x0 - t.cx0]], jnp.int32)
+        b_ops = jax.tree.map(lambda l: l[None], t.ops)
+        flows, wrgbs, wmasks = solve_and_raster_canvas(
+            b_ops, t.rgb[None], offs, self.cfg, canvas_hw=t.canvas,
+            compact_flow=False,
         )
-        shifted = shifted[inside]
-
-        ops = E.build_compact(sub_mask, shifted, self.weights)
-        rgb_u8 = jnp.asarray(np.ascontiguousarray(sub_rgb.transpose(2, 0, 1)))
-        x, flow, wrgb, wmask = _solve_and_raster(ops, rgb_u8, self.cfg)
-
+        bh, bw = t.bucket
+        ch, cw = t.canvas
         full_flow = np.zeros((H, W, 2), np.float32)
-        full_flow[y0 : y0 + h, x0 : x0 + w] = np.asarray(flow).transpose(1, 2, 0)
+        full_flow[t.y0 : t.y0 + bh, t.x0 : t.x0 + bw] = (
+            np.asarray(flows[0]).transpose(1, 2, 0)
+        )
         full_rgb = np.zeros((H, W, 3), np.uint8)
-        full_rgb[y0 : y0 + h, x0 : x0 + w] = (
-            np.asarray(wrgb).transpose(1, 2, 0).astype(np.uint8)
+        full_rgb[t.cy0 : t.cy0 + ch, t.cx0 : t.cx0 + cw] = (
+            np.asarray(wrgbs[0]).transpose(1, 2, 0).astype(np.uint8)
         )
         full_mask = np.zeros((H, W), np.uint8)
-        full_mask[y0 : y0 + h, x0 : x0 + w] = np.asarray(wmask).astype(np.uint8)
+        full_mask[t.cy0 : t.cy0 + ch, t.cx0 : t.cx0 + cw] = (
+            np.asarray(wmasks[0]).astype(np.uint8)
+        )
         return DeformResult(flow=full_flow, warped_rgb=full_rgb,
                             warped_mask=full_mask, state=None)
 
@@ -301,8 +311,21 @@ def deform(
     return ArapDeformer(cfg, weights).deform(rgb, arap_mask, constraints)
 
 
-@partial(jax.jit, static_argnames=("static_key",))
-def _solve_and_raster_batch_impl(ops, rgb, dyn, static_key):
+FLOW_I16_SCALE = 64.0  # 1/64 px quantum, ±512 px range
+
+
+def _quantize_flow(flows):
+    # i16 fixed-point flow (1/64 px): halves the dominant D2H plane
+    # through the ~25 MB/s tunnel; quantization (±0.008 px) is far below
+    # solver accuracy. Dequantized host-side (pipeline/batch.py).
+    return jnp.clip(
+        jnp.round(flows * FLOW_I16_SCALE), -32768, 32767
+    ).astype(jnp.int16)
+
+
+@partial(jax.jit, static_argnames=("static_key", "compact_flow"))
+def _solve_and_raster_batch_impl(ops, rgb, dyn, static_key,
+                                 compact_flow=False):
     cfg = S._rebuild_config(dyn, static_key)
 
     def one(o, r):
@@ -312,15 +335,86 @@ def _solve_and_raster_batch_impl(ops, rgb, dyn, static_key):
         wrgb, wmask = R.rasterize(x[:2], _to_f32(r), 1.0 - o.mask)
         return x, flow, wrgb.astype(jnp.uint8), wmask.astype(jnp.uint8)
 
-    return jax.vmap(one)(ops, rgb)
+    xs, flows, wrgbs, wmasks = jax.vmap(one)(ops, rgb)
+    if compact_flow:
+        flows = _quantize_flow(flows)
+    return xs, flows, wrgbs, wmasks
+
+
+@partial(jax.jit, static_argnames=("static_key", "canvas_hw", "compact_flow"))
+def _solve_and_raster_canvas_impl(ops, rgb, offs, dyn, static_key, canvas_hw,
+                                  compact_flow=True):
+    """Decoupled solve/raster: the 61k-iteration solve runs on the TIGHT
+    object bucket; results are placed (per-problem dynamic offset) onto a
+    larger canvas bucket that has the raster landing area. The displacement
+    margins are masked-inert during the solve, so solving them was pure
+    waste — this moves their cost from the deep PCG kernel to the one-shot
+    rasterizer.
+
+    ops/rgb: solve-bucket-shaped batched operands; offs: (B, 2) int32
+    (dy, dx) of the solve box inside the canvas box. Returns
+    (flow (B,2,hs,ws), wrgb (B,3,Hc,Wc) u8, wmask (B,Hc,Wc) u8)."""
+    cfg = S._rebuild_config(dyn, static_key)
+    Hc, Wc = canvas_hw
+
+    def one(o, r, off):
+        o = _expand(o)
+        x = S.anneal_solve(o, cfg)
+        flow = S.flow_from_state(x, o)
+        dy, dx = off[0], off[1]
+        # canvas-absolute warped positions: shift by the solve-box offset
+        warp = x[:2] + jnp.stack([dx, dy]).astype(x.dtype)[:, None, None]
+        warp_c = jax.lax.dynamic_update_slice(
+            jnp.zeros((2, Hc, Wc), x.dtype), warp, (0, dy, dx)
+        )
+        # default canvas mask = excluded (1) so padded quads never draw
+        mask_c = jax.lax.dynamic_update_slice(
+            jnp.ones((Hc, Wc), x.dtype), 1.0 - o.mask, (dy, dx)
+        )
+        rgb_c = jax.lax.dynamic_update_slice(
+            jnp.zeros((3, Hc, Wc), jnp.float32), _to_f32(r), (0, dy, dx)
+        )
+        wrgb, wmask = R.rasterize(warp_c, rgb_c, mask_c)
+        return flow, wrgb.astype(jnp.uint8), wmask.astype(jnp.uint8)
+
+    flows, wrgbs, wmasks = jax.vmap(one)(ops, rgb, offs)
+    if compact_flow:
+        flows = _quantize_flow(flows)
+    return flows, wrgbs, wmasks
+
+
+def solve_and_raster_canvas(ops_batched, rgb_batched, offs, cfg: SolverConfig,
+                            canvas_hw: tuple, mesh=None,
+                            compact_flow: bool = True):
+    """Batched tight-solve + canvas-raster (see _solve_and_raster_canvas_impl).
+
+    offs: (B, 2) int32 (dy, dx) of each solve box inside its canvas box.
+    Returns (flows, wrgbs, wmasks); flows are i16 fixed-point when
+    compact_flow. `mesh` shards the batch over the 'data' axis."""
+    cfg = cfg.resolve()
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        def put(leaf):
+            spec = P("data", *([None] * (leaf.ndim - 1)))
+            return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+        ops_batched = jax.tree.map(put, ops_batched)
+        rgb_batched = put(rgb_batched)
+        offs = put(offs)
+    return _solve_and_raster_canvas_impl(
+        ops_batched, rgb_batched, offs, cfg.dynamic, cfg.static_key,
+        canvas_hw=tuple(canvas_hw), compact_flow=compact_flow,
+    )
 
 
 def solve_and_raster_batch(ops_batched, rgb_batched, cfg: SolverConfig,
-                           mesh=None):
+                           mesh=None, compact_flow: bool = False):
     """Batched solve + rasterize for same-shape (bucketed) problems.
 
     ops_batched: ArapOperands with leading batch axis on every leaf;
-    rgb_batched: (B, 3, H, W) float32. Returns (x, flow, wrgb, wmask) batched.
+    rgb_batched: (B, 3, H, W) float32. Returns (x, flow, wrgb, wmask) batched
+    (flow as i16 fixed-point when compact_flow).
     This is the on-chip replacement for the reference's per-GPU process farm:
     many (frame, segment) problems solved in one compiled program.
 
@@ -340,5 +434,6 @@ def solve_and_raster_batch(ops_batched, rgb_batched, cfg: SolverConfig,
         ops_batched = jax.tree.map(put, ops_batched)
         rgb_batched = put(rgb_batched)
     return _solve_and_raster_batch_impl(
-        ops_batched, rgb_batched, cfg.dynamic, cfg.static_key
+        ops_batched, rgb_batched, cfg.dynamic, cfg.static_key,
+        compact_flow=compact_flow,
     )

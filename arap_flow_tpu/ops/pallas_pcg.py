@@ -36,6 +36,9 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .stencil import DIRS
 
+# PCG loop unroll factor (trace-time; probe knob — 1 measured best so far)
+_UNROLL = 1
+
 
 def _roll2(a: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
     """b[y, x] = a[(y+dy) mod H, (x+dx) mod W] — wrapped values are always
@@ -217,7 +220,8 @@ def _pcg_kernel(
         p_ref[2] = za + beta * pa
         return rz_new
 
-    jax.lax.fori_loop(0, n_ref[0, 0], body, rz0, unroll=False)
+    jax.lax.fori_loop(0, n_ref[0, 0], body, rz0,
+                      unroll=_UNROLL if _UNROLL > 1 else False)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -357,7 +361,8 @@ def _pcg_kernel_batched(
             rz_new_parts.append(rz_new_b.reshape(1))
         return jnp.concatenate(rz_new_parts)
 
-    jax.lax.fori_loop(0, n_ref[0, 0], body, rz0, unroll=False)
+    jax.lax.fori_loop(0, n_ref[0, 0], body, rz0,
+                      unroll=_UNROLL if _UNROLL > 1 else False)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
@@ -386,6 +391,11 @@ def pcg_pallas_batched(b, pre, s, c, vmasks, fitmask, wf2, wr2, iters,
             pltpu.VMEM((B, 4, H, W), jnp.float32),
             pltpu.VMEM((B, 4, H, W), jnp.float32),
         ],
+        # b is consumed once at init (r0 = b, copied into r scratch) and the
+        # delta output is written strictly after — aliasing them drops 3
+        # resident planes/problem, buying one more interleaved problem per
+        # VMEM budget
+        input_output_aliases={0: 0},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),

@@ -21,7 +21,9 @@ flow field is zero outside the segment). This module uses a hybrid:
    priority accepted quad — is never more than ~1 quad above it in index
    order, while dilation can displace seeds a couple of quads upward.
    Measured on the golden cat512 warp: offsets −2..+1 (window=4) matches the
-   −2..+2 window's 99.93% mask agreement; symmetric −1..+1 collapses to 95.9%.
+   −2..+2 window's 99.93% mask agreement; −2..0 (window=3, the default)
+   keeps 99.87% at 0.71× the in-batch cost (33 vs 46 ms/problem at B=8,
+   224×384); symmetric −1..+1 collapses to 95.9%.
 4. Barycentric color interpolation of the winner's corners, truncated to whole
    uint8 values (mLib vec3uc cast semantics).
 
@@ -112,7 +114,7 @@ def rasterize(
     warp: jnp.ndarray,
     rgb: jnp.ndarray,
     arap_mask: jnp.ndarray,
-    window: int = 4,
+    window: int = 3,
     dilate: int = 3,
     anchor: int | None = None,
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
@@ -234,7 +236,7 @@ def rasterize_flow(
     flow: jnp.ndarray,
     rgb: jnp.ndarray,
     arap_mask: jnp.ndarray,
-    window: int = 4,
+    window: int = 3,
     dilate: int = 3,
     anchor: int | None = None,
 ):

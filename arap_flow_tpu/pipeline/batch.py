@@ -45,7 +45,12 @@ def max_chunk_for(bucket: tuple, n_data: int = 1) -> int:
 
 @dataclass
 class SegmentTask:
-    """One segment solve request (frame-pair index, segment id, crop)."""
+    """One segment solve request (frame-pair index, segment id, crops).
+
+    The SOLVE box (y0/x0/bucket) is the tight object bucket the deep PCG
+    kernel runs on; the CANVAS box (cy0/cx0/canvas ⊇ solve box) additionally
+    has the directional displacement margins where warped pixels land — the
+    rasterizer draws on the canvas, the solver never pays for it."""
 
     pair_idx: int
     seg_id: int
@@ -53,6 +58,9 @@ class SegmentTask:
     y0: int
     x0: int
     bucket: tuple
+    cy0: int
+    cx0: int
+    canvas: tuple
     ops: E.ArapOperands
     rgb: jnp.ndarray  # (3, h, w) cropped uint8 (device-cast to f32)
 
@@ -66,18 +74,41 @@ def make_task(
     weights: E.ArapWeights,
     buckets=DEFAULT_BUCKETS,
     pin_border: bool = True,
+    margin: int = 8,
 ) -> SegmentTask | None:
-    """Crop a segment problem into the smallest fitting bucket (None -> use a
-    full-frame fallback)."""
+    """Crop a segment problem into the smallest fitting solve/canvas bucket
+    pair (None -> use a full-frame fallback)."""
+    from ..models.arap import directional_pads, place_span
+
     H, W = arap_mask.shape
     cons = np.asarray(cons, np.int32).reshape(-1, 4)
     if pin_border:
         cons = add_border_pins(cons, W, H)
-    box = pick_bucket(arap_mask, cons, buckets)
-    if box is None:
+    obj_y, obj_x = np.where(arap_mask == 0)
+    if len(obj_y) == 0:
         return None
-    y0, x0, bh, bw = box
-    bucket = (bh, bw)
+    bbox = (int(obj_y.min()), int(obj_y.max()),
+            int(obj_x.min()), int(obj_x.max()))
+    cbox = pick_bucket(arap_mask, cons, buckets, margin=margin, bbox=bbox)
+    if cbox is None:
+        return None
+    cy0, cx0, ch, cw = cbox
+
+    # tight solve box: object bbox + margin only (the displacement pads are
+    # masked-inert for the solve — exactness lemmas, docs/PARITY.md) — placed
+    # INSIDE the canvas box
+    ylo = max(bbox[0] - margin, cy0)
+    yhi = min(bbox[1] + 1 + margin, cy0 + ch)
+    xlo = max(bbox[2] - margin, cx0)
+    xhi = min(bbox[3] + 1 + margin, cx0 + cw)
+    bh, bw = ch, cw
+    for sh, sw in buckets:
+        if yhi - ylo <= sh <= ch and xhi - xlo <= sw <= cw:
+            bh, bw = sh, sw
+            break
+    y0 = min(max(place_span(ylo, yhi, bh, H), cy0), cy0 + ch - bh)
+    x0 = min(max(place_span(xlo, xhi, bw, W), cx0), cx0 + cw - bw)
+
     sub_mask = np.ascontiguousarray(arap_mask[y0 : y0 + bh, x0 : x0 + bw])
     sub_rgb = np.ascontiguousarray(rgb[y0 : y0 + bh, x0 : x0 + bw])
     shifted = cons.copy()
@@ -96,7 +127,10 @@ def make_task(
         frame_hw=(H, W),
         y0=y0,
         x0=x0,
-        bucket=bucket,
+        bucket=(bh, bw),
+        cy0=cy0,
+        cx0=cx0,
+        canvas=(ch, cw),
         ops=ops,
         rgb=jnp.asarray(np.ascontiguousarray(sub_rgb.transpose(2, 0, 1))),
     )
@@ -135,24 +169,32 @@ class BatchRunner:
             {min(self.n_data * s, step) for s in (1, 2, 4, 8, 16, 24)}
         )
 
-    def _dispatch(self, bucket, chunk_tasks, n_real):
+    def _dispatch(self, key, chunk_tasks, n_real):
+        from ..models.arap import solve_and_raster_canvas
+
         with self.timer.stage("upload+stack"):
             batched_ops = jax.tree.map(
                 lambda *ls: jnp.stack(ls), *[t.ops for t in chunk_tasks]
             )
             rgb_b = jnp.stack([t.rgb for t in chunk_tasks])
+            offs = jnp.asarray(
+                [(t.y0 - t.cy0, t.x0 - t.cx0) for t in chunk_tasks],
+                jnp.int32,
+            )
         with self.timer.stage("solve+raster dispatch"):
-            xs, flows, wrgbs, wmasks = solve_and_raster_batch(
-                batched_ops, rgb_b, self.cfg, mesh=self.mesh
+            flows, wrgbs, wmasks = solve_and_raster_canvas(
+                batched_ops, rgb_b, offs, self.cfg,
+                canvas_hw=chunk_tasks[0].canvas, mesh=self.mesh,
             )
         self.pending.append((chunk_tasks, n_real, flows, wrgbs, wmasks))
 
     def add(self, task: SegmentTask) -> None:
-        buf = self.buffers.setdefault(task.bucket, [])
+        key = (task.bucket, task.canvas)
+        buf = self.buffers.setdefault(key, [])
         buf.append(task)
         step = max_chunk_for(task.bucket, self.n_data)
         if len(buf) >= step:
-            self._dispatch(task.bucket, buf[:step], step)
+            self._dispatch(key, buf[:step], step)
             del buf[:step]
 
     def add_fallback(self, pair_idx, seg_id, rgb, arap_mask, cons) -> None:
@@ -164,16 +206,16 @@ class BatchRunner:
 
     def finish(self) -> dict[tuple, DeformResult]:
         # flush remainders, padded up the ladder by repeating the last task
-        for bucket, buf in self.buffers.items():
+        for key, buf in self.buffers.items():
             if not buf:
                 continue
-            step = max_chunk_for(bucket, self.n_data)
+            step = max_chunk_for(key[0], self.n_data)
             n_real = len(buf)
             target = next(t for t in self._ladder(step) if t >= n_real)
             chunk_tasks = list(buf)
             while len(chunk_tasks) < target:
                 chunk_tasks = chunk_tasks + [chunk_tasks[-1]]
-            self._dispatch(bucket, chunk_tasks, n_real)
+            self._dispatch(key, chunk_tasks, n_real)
         self.buffers.clear()
 
         for entry in self.pending:
@@ -191,22 +233,27 @@ class BatchRunner:
                 continue
             with self.timer.stage("D2H fetch"):
                 flows = np.asarray(flows)
+                if flows.dtype == np.int16:  # compact i16 fixed-point flow
+                    from ..models.arap import FLOW_I16_SCALE
+
+                    flows = flows.astype(np.float32) / FLOW_I16_SCALE
                 wrgbs = np.asarray(wrgbs)
                 wmasks = np.asarray(wmasks)
             with self.timer.stage("host paste"):
                 for i, t in enumerate(group[:n_real]):
                     H, W = t.frame_hw
                     bh, bw = t.bucket
+                    ch, cw = t.canvas
                     flow = np.zeros((H, W, 2), np.float32)
                     flow[t.y0 : t.y0 + bh, t.x0 : t.x0 + bw] = (
                         flows[i].transpose(1, 2, 0)
                     )
                     rgb = np.zeros((H, W, 3), np.uint8)
-                    rgb[t.y0 : t.y0 + bh, t.x0 : t.x0 + bw] = (
+                    rgb[t.cy0 : t.cy0 + ch, t.cx0 : t.cx0 + cw] = (
                         wrgbs[i].transpose(1, 2, 0).astype(np.uint8)
                     )
                     mask = np.zeros((H, W), np.uint8)
-                    mask[t.y0 : t.y0 + bh, t.x0 : t.x0 + bw] = (
+                    mask[t.cy0 : t.cy0 + ch, t.cx0 : t.cx0 + cw] = (
                         wmasks[i].astype(np.uint8)
                     )
                     self.out[(t.pair_idx, t.seg_id)] = DeformResult(

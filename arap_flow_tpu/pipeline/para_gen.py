@@ -572,7 +572,7 @@ def prewarm(cfg, weights, buckets=None, batched: bool = True,
     import jax.numpy as jnp
 
     from ..io.constraints import add_border_pins
-    from ..models.arap import solve_and_raster_batch, _solve_and_raster
+    from ..models.arap import solve_and_raster_canvas, _solve_and_raster
     from ..ops import energy as E
     from .batch import DEFAULT_BUCKETS, max_chunk_for
 
@@ -590,8 +590,11 @@ def prewarm(cfg, weights, buckets=None, batched: bool = True,
         if batched:
             B = max_chunk_for((bh, bw), 1)
             b_ops = jax.tree.map(lambda l: jnp.stack([l] * B), ops)
-            out = solve_and_raster_batch(
-                b_ops, jnp.stack([rgb] * B), cfg)
+            # warm the solve==canvas case (small-displacement pairs hit it;
+            # larger-displacement canvas combos compile on demand)
+            out = solve_and_raster_canvas(
+                b_ops, jnp.stack([rgb] * B), jnp.zeros((B, 2), jnp.int32),
+                cfg, canvas_hw=(bh, bw))
         else:
             out = _solve_and_raster(ops, rgb, cfg)
         jax.block_until_ready(out[1])

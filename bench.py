@@ -99,22 +99,31 @@ def main():
         # prep finishes — full chunks dispatch immediately, so the device
         # executes earlier chunks while the host still preps later problems
         # (the same economics as the pipeline's chunk-prep overlap)
+        from concurrent.futures import ThreadPoolExecutor
+
         runner = BatchRunner(cfg, timer=timer)
         t0 = time.time()
         # seg-major order: same-shaped segments are consecutive, so the first
         # bucket chunk fills (and dispatches) after ~half the prep instead of
-        # after all of it
+        # after all of it; a prefetch thread preps ahead while the main
+        # thread feeds the runner (numpy prep releases the GIL; device
+        # dispatch overlaps)
         order = [
             i for j in range(len(SEG_SHAPES))
             for i in range(j, len(problems), len(SEG_SHAPES))
         ]
-        for i in order:
-            rgb, mask, cons = problems[i]
-            t = make_task(i, 0, rgb, mask, cons, ArapWeights())
-            if t is not None:
-                runner.add(t)
-            else:
-                runner.add_fallback(i, 0, rgb, mask, cons)
+        with ThreadPoolExecutor(2) as ex:
+            futs = {
+                i: ex.submit(make_task, i, 0, *problems[i], ArapWeights())
+                for i in order
+            }
+            for i in order:
+                t = futs[i].result()
+                if t is not None:
+                    runner.add(t)
+                else:
+                    rgb, mask, cons = problems[i]
+                    runner.add_fallback(i, 0, rgb, mask, cons)
         if timer is not None:
             timer.totals["host prep (crop+operands)"] += time.time() - t0
             timer.counts["host prep (crop+operands)"] += 1
