@@ -124,7 +124,8 @@ def _bilinear(plane: jnp.ndarray, qx: jnp.ndarray, qy: jnp.ndarray) -> jnp.ndarr
 _SEARCH_VEC_BUDGET = 48 * 1024 * 1024
 
 
-def _search(z1: jnp.ndarray, z2: jnp.ndarray, radius: int, patch: int):
+def _search(z1: jnp.ndarray, z2: jnp.ndarray, radius: int, patch: int,
+            budget_div: int = 1):
     """Exhaustive NCC search: returns (du, dv, score) per pixel, each (H, W).
 
     score is mean z1·z2 over the patch ∈ [−1, 1]. Two schedules, identical
@@ -146,7 +147,7 @@ def _search(z1: jnp.ndarray, z2: jnp.ndarray, radius: int, patch: int):
     dys, dxs = np.mgrid[-radius : radius + 1, -radius : radius + 1]
     n_off = dys.size
 
-    if n_off > 49 and n_off * H * W <= _SEARCH_VEC_BUDGET:
+    if n_off > 49 and n_off * H * W <= _SEARCH_VEC_BUDGET // max(1, budget_div):
         dy = jnp.asarray(dys.ravel() + radius, jnp.int32)
         dx = jnp.asarray(dxs.ravel() + radius, jnp.int32)
         rows = dy[:, None, None] + jnp.arange(H, dtype=jnp.int32)[None, :, None]
@@ -273,7 +274,12 @@ def _pyramid_flow_impl(
     g2r = _bilinear(pyr2[-1], jnp.asarray(qx, jnp.float32),
                     jnp.asarray(qy, jnp.float32))  # (K, Hc, Wc)
     z2 = _zscore(g2r, patch)
-    du, dv, sc = jax.vmap(lambda z: _search(z1, z, coarse_r, patch))(z2)
+    # the vectorized search materialises (n_off, Hc, Wc) PER hypothesis
+    # under vmap — divide its budget by K or large banks OOM on frames
+    # whose level clamp leaves a big coarse level
+    du, dv, sc = jax.vmap(
+        lambda z: _search(z1, z, coarse_r, patch, budget_div=len(hyps))
+    )(z2)
     # fold each hypothesis back into image-2 coordinates:
     # t(p) = M((p + d) − c) + c (identity reduces to p + d exactly)
     m00 = jnp.asarray(Ms[:, 0, 0], jnp.float32)[:, None, None]

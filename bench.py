@@ -11,10 +11,12 @@ Two execution models on the SAME chip:
 - baseline ("reference-equivalent"): one full-frame solve at a time, outputs
   fetched after each — the reference's execution model (one CUDA solve per
   process, para_gen.py:560-567), minus its per-launch overheads;
-- ours: segments solved sequentially on bucket-aligned bounding-box crops
-  (exact — inert excluded pixels, models/arap.py:pick_bucket) with the
-  VMEM-resident Pallas PCG backend; sequential beats vmap/grid batching for
-  this VPU-bound kernel (measured).
+- ours: segments solved on TIGHT bucket-aligned bounding-box crops (exact —
+  inert excluded pixels) with the multi-problem interleaved VMEM-resident
+  Pallas PCG kernel, rasterized onto separate displacement-padded canvas
+  buckets, streamed through pipeline/batch.BatchRunner (chunks dispatch as
+  they fill; host prep runs in a prefetch thread), flow fetched as i16
+  fixed-point.
 
 Prints ONE JSON line:
   value       = ours, flow pairs/sec/chip

@@ -56,9 +56,10 @@ def ladder_case(stretch: float, H=256, W=384, lam=80.0, dx=30.0, seed=5):
     return im1, im2, fwd_x, fwd_y
 
 
-def measure(im1, im2, fwd_x, fwd_y, rotations, stride=4, margin=16):
+def measure(im1, im2, fwd_x, fwd_y, rotations, stride=4, margin=16,
+            radius=64):
     H, W = im1.shape[:2]
-    m = match_images(im1, im2, radius=100, stride=stride,
+    m = match_images(im1, im2, radius=radius, stride=stride,
                      rotations=rotations)
     x1 = m[:, 0].astype(int)
     y1 = m[:, 1].astype(int)
