@@ -647,6 +647,24 @@ def match_images(
     displacements are scaled back to full-res px. The fb threshold scales
     with the factor (a half-res matcher is inherently ~2× less precise).
     """
+    handle = match_images_dispatch(
+        rgb1, rgb2, radius=radius, stride=stride, patch=patch, levels=levels,
+        rotations=rotations, refine_passes=refine_passes, downscale=downscale,
+    )
+    return match_images_fetch(handle, fb_threshold=fb_threshold,
+                              score_threshold=score_threshold)
+
+
+def match_images_dispatch(
+    rgb1, rgb2, radius: int = 100, stride: int = 4, patch: int = 12,
+    levels: int = 3, rotations: tuple = None, refine_passes: int = 1,
+    downscale: int = 1,
+):
+    """Async half of match_images: uploads + dispatches the device matcher
+    and returns a handle (device grid planes + geometry). Pipelines: dispatch
+    matching for MANY pairs back-to-back, then fetch (match_images_fetch) —
+    the device runs the matcher programs without host-fetch gaps between
+    them, and fetches overlap later pairs' device time."""
     j1 = jnp.asarray(np.ascontiguousarray(rgb1.transpose(2, 0, 1)))
     j2 = jnp.asarray(np.ascontiguousarray(rgb2.transpose(2, 0, 1)))
     H_, W_ = rgb1.shape[:2]
@@ -655,20 +673,26 @@ def match_images(
     rad_d, levels = clamp_match_params(
         H_ // ds, W_ // ds, int(np.ceil(radius / ds)), patch, levels
     )
+    if rotations is None:
+        rotations = DEFAULT_ROTATIONS
+    grids = match_grid(j1, j2, stride=stride_d, radius=rad_d,
+                       patch=patch, levels=levels, rotations=rotations,
+                       refine_passes=refine_passes, downscale=ds)
+    return (grids, H_, W_, stride, stride_d, ds, radius)
+
+
+def match_images_fetch(handle, fb_threshold: float = 1.5,
+                       score_threshold: float = 0.3) -> np.ndarray:
+    """Blocking half of match_images: D2H the grid planes + host selection."""
     import os as _os
     import time as _time
 
-    if rotations is None:
-        rotations = DEFAULT_ROTATIONS
+    (u, v, sg, fb), H_, W_, stride, stride_d, ds, radius = handle
     _t0 = _time.time()
-    u, v, sg, fb = match_grid(j1, j2, stride=stride_d, radius=rad_d,
-                              patch=patch, levels=levels,
-                              rotations=rotations,
-                              refine_passes=refine_passes, downscale=ds)
     u, v, sg, fb = (np.asarray(a) for a in (u, v, sg, fb))
     if _os.environ.get("ARAP_PROFILE"):
-        print(f"  [match] device+d2h {_time.time() - _t0:.2f}s "
-              f"(levels={levels} radius={rad_d} ds={ds})", flush=True)
+        print(f"  [match] d2h+select {_time.time() - _t0:.2f}s (ds={ds})",
+              flush=True)
     return _select_from_grids(
         u * ds, v * ds, sg, fb * ds, H_, W_, stride,
         fb_threshold * ds, score_threshold, radius,

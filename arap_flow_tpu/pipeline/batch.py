@@ -160,13 +160,13 @@ class BatchRunner:
         self.out: dict[tuple, DeformResult] = {}
 
     def _ladder(self, step: int) -> list[int]:
-        # bounded batch-size ladder per bucket: at most ~6 compiled batch
-        # shapes (a compile is 10-300s on this platform) and at most
-        # ~n_real-1 duplicate-solve waste (the old pad-to-step rule wasted
-        # up to step-2 solves, e.g. 8 real tasks padded to a step of 9).
+        # bounded batch-size ladder per bucket: at most ~8 compiled batch
+        # shapes (a compile is 10-300s on this platform) and at most ~33%
+        # duplicate-solve waste (the old pad-to-step rule wasted up to
+        # step-2 solves, e.g. 8 real tasks padded to a step of 9).
         # Sharded runs need multiples of the 'data' axis — every entry is.
         return sorted(
-            {min(self.n_data * s, step) for s in (1, 2, 4, 8, 16, 24)}
+            {min(self.n_data * s, step) for s in (1, 2, 4, 6, 8, 12, 16, 24)}
         )
 
     def _dispatch(self, key, chunk_tasks, n_real):

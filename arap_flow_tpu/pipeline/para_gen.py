@@ -453,17 +453,30 @@ def prep_chunk_batched(
     # pairs). Failures fall back to prep_pair's isolated retry below.
     prematched: dict = {}
     if flags.matcher == "native":
-        from ..ops.matching import match_images
+        from ..ops.matching import match_images_dispatch, match_images_fetch
 
         with TIMER.stage("matching"):
+            # dispatch ALL pairs' matcher programs first (async), then
+            # fetch: the device runs the matchers back-to-back while each
+            # pair's D2H + host selection overlaps the later pairs' device
+            # time (the old fetch-per-pair loop left the device idle during
+            # every selection)
+            handles = []
             for p in pairs:
                 try:
                     _ensure_dirs(p)
                     d = decode_pair(flags, p)
                     if d is None:
                         continue
-                    m = match_images(d[4], d[5], radius=100,
-                                     downscale=flags.match_downscale)
+                    handles.append((p, match_images_dispatch(
+                        d[4], d[5], radius=100,
+                        downscale=flags.match_downscale)))
+                except Exception as e:
+                    log.warning("pair match dispatch failed: %s (%s)",
+                                p.rgb1_org, e)
+            for p, h in handles:
+                try:
+                    m = match_images_fetch(h)
                     prematched[id(p)] = m[:, :4].astype(np.int32)
                 except Exception as e:
                     log.warning("pair matching failed: %s (%s)",

@@ -44,3 +44,51 @@ def test_cropped_solve_matches_full():
     np.testing.assert_array_equal(
         cropped.warped_mask > 0, full.warped_mask > 0
     )
+
+
+def test_canvas_decoupling_large_displacement():
+    """A large displacement forces canvas bucket > solve bucket (the raster
+    landing margins are solved nowhere); products must still match the
+    full-frame solve — flow on the tight box, warped RGB/mask landing far
+    outside it on the canvas."""
+    from arap_flow_tpu.pipeline.batch import make_task
+    from arap_flow_tpu.ops.energy import ArapWeights
+
+    H, W = 200, 300
+    rng = np.random.default_rng(1)
+    arap_mask = np.full((H, W), 255, np.uint8)
+    arap_mask[40:104, 30:110] = 0  # 64x80 object
+    rgb = rng.integers(0, 255, (H, W, 3)).astype(np.uint8)
+    ys, xs = np.mgrid[44:100:8, 34:106:8]
+    DX, DY = 90, 20  # big rightward displacement
+    cons = np.stack(
+        [xs.ravel(), ys.ravel(), xs.ravel() + DX, ys.ravel() + DY], 1
+    ).astype(np.int32)
+
+    buckets = ((80, 128), (112, 128), (112, 256), (144, 256))
+    t = make_task(0, 0, rgb, arap_mask, cons, ArapWeights(), buckets=buckets)
+    assert t is not None
+    # the displacement pads must widen the canvas beyond the solve bucket
+    assert t.canvas[0] * t.canvas[1] > t.bucket[0] * t.bucket[1], (
+        t.bucket, t.canvas)
+    # solve box inside canvas box
+    assert t.cy0 <= t.y0 and t.y0 + t.bucket[0] <= t.cy0 + t.canvas[0]
+    assert t.cx0 <= t.x0 and t.x0 + t.bucket[1] <= t.cx0 + t.canvas[1]
+
+    cfg = SolverConfig(num_anneal=3, gn_iters=2, max_pcg_iters=80,
+                       pcg_iters=80.0)
+    full = ArapDeformer(cfg).deform(rgb, arap_mask, cons)
+    dec = ArapDeformer(cfg, crop=True, crop_buckets=buckets).deform(
+        rgb, arap_mask, cons)
+    # the linear systems are identical (inert-pixel lemma) but the partially
+    # converged CG trajectories diverge through float reassociation on
+    # different crop sizes (up to ~1 px on weakly determined pixels at this
+    # short schedule) — assert at the level that catches offset/placement
+    # bugs (which produce ~DX-scale errors), not reduction rounding
+    d = np.abs(dec.flow - full.flow)
+    assert np.median(d) < 0.05, np.median(d)
+    assert d.max() < 3.0, d.max()
+    # the object landed ~DX to the right — covered pixels must agree there
+    agree = (dec.warped_mask > 0) == (full.warped_mask > 0)
+    assert agree.mean() > 0.99, agree.mean()
+    assert (dec.warped_mask[:, 120:] > 0).sum() > 1000  # actually landed
