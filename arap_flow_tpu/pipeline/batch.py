@@ -204,8 +204,10 @@ class BatchRunner:
         _, flow, wrgb, wmask = _solve_and_raster(ops, rgb_u8, self.cfg)
         self.pending.append(((pair_idx, seg_id), None, flow, wrgb, wmask))
 
-    def finish(self) -> dict[tuple, DeformResult]:
-        # flush remainders, padded up the ladder by repeating the last task
+    def flush(self) -> None:
+        """Dispatch buffered remainders (padded up the ladder by repeating
+        the last task) WITHOUT fetching — the device starts chewing while
+        the caller does other host work; collect() fetches later."""
         for key, buf in self.buffers.items():
             if not buf:
                 continue
@@ -218,6 +220,12 @@ class BatchRunner:
             self._dispatch(key, chunk_tasks, n_real)
         self.buffers.clear()
 
+    def finish(self) -> dict[tuple, DeformResult]:
+        self.flush()
+        return self.collect()
+
+    def collect(self) -> dict[tuple, DeformResult]:
+        """Fetch every dispatched chunk and paste into full-frame canvases."""
         for entry in self.pending:
             group, n_real, flows, wrgbs, wmasks = entry[0], entry[1], *entry[2:]
             if n_real is None:  # fallback: group is the (pair, seg) key

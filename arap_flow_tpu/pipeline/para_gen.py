@@ -523,16 +523,48 @@ def execute_chunk_batched(
     With `mesh` (--mode sharded) the bucket batches are sharded over the
     mesh's 'data' axis — the reference's multi-GPU farm (para_gen.py:560-567)
     as zero-collective data parallelism."""
-    from .batch import run_tasks
+
+
+    return collect_chunk_batched(
+        flags, dispatch_chunk_batched(prepped, cfg, weights, mesh=mesh),
+        cfg, weights, writer,
+    )
+
+
+def dispatch_chunk_batched(prepped, cfg, weights, mesh=None):
+    """Dispatch a prepped chunk's solves (async) — returns inflight state
+    for collect_chunk_batched. Dispatch errors are captured, not raised
+    (the collector owns the per-pair retry)."""
+    from .batch import BatchRunner
 
     works, tasks, fallbacks = prepped
+    runner = BatchRunner(cfg, mesh=mesh, weights=weights)
+    err = None
     try:
-        results = run_tasks(tasks, fallbacks, cfg, mesh=mesh)
-    except Exception as e:
+        for t in tasks:
+            runner.add(t)
+        for fb in fallbacks:
+            runner.add_fallback(*fb)
+        runner.flush()
+    except Exception as e:  # poisoned chunk: retried per pair in collect
+        err = e
+    return works, runner, err
+
+
+def collect_chunk_batched(flags, inflight, cfg, weights, writer) -> list[str]:
+    """Fetch a dispatched chunk's products, compose + write per pair."""
+    works, runner, err = inflight
+    results = None
+    if err is None:
+        try:
+            results = runner.collect()
+        except Exception as e:
+            err = e
+    if err is not None:
         # failure isolation: a poisoned segment fails its chunk — retry the
         # chunk pair-by-pair through the simple path (the reference's worker
         # processes isolate at pair granularity, para_gen.py:194-195)
-        log.warning("batched chunk failed (%s); retrying per pair", e)
+        log.warning("batched chunk failed (%s); retrying per pair", err)
         deformer = ArapDeformer(cfg, weights=weights, crop=True)
         triples = []
         for w in works:
@@ -691,9 +723,14 @@ def main_pipeline(
 
             chunks = [pairs[i : i + chunk]
                       for i in range(0, len(pairs), chunk)]
+            # depth-2 pipeline: while chunk k executes on the device, chunk
+            # k+1's host+matcher prep runs on the worker thread, AND chunk
+            # k-1's compose/write (finish_pair) runs on the main thread —
+            # the device never idles on host compose between chunks
             with ThreadPoolExecutor(max_workers=1) as ex:
                 fut = ex.submit(prep_chunk_batched, flags, chunks[0],
                                 deformer.weights, bgpool) if chunks else None
+                inflight = None  # (prepped, dispatched-runner-state)
                 for i, ch in enumerate(chunks):
                     print(f"{100.0 * i * chunk / max(len(pairs), 1):.3f}%",
                           flush=True)
@@ -702,9 +739,17 @@ def main_pipeline(
                         fut = ex.submit(prep_chunk_batched, flags,
                                         chunks[i + 1], deformer.weights,
                                         bgpool)
-                    triples += execute_chunk_batched(
-                        flags, prepped, cfg, deformer.weights, writer,
-                        mesh=mesh,
+                    disp = dispatch_chunk_batched(
+                        prepped, cfg, deformer.weights, mesh=mesh
+                    )
+                    if inflight is not None:
+                        triples += collect_chunk_batched(
+                            flags, inflight, cfg, deformer.weights, writer
+                        )
+                    inflight = disp
+                if inflight is not None:
+                    triples += collect_chunk_batched(
+                        flags, inflight, cfg, deformer.weights, writer
                     )
         else:
             # pipelined simple mode: the next pair's host+matcher prep runs on
