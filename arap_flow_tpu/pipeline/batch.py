@@ -2,11 +2,15 @@
 
 The reference keeps each GPU busy with one solve at a time, fed by worker
 processes and tmp list files (para_gen.py:560-567, --narap buffering). The TPU
-replacement: segments from many frame pairs are cropped to bucket-aligned
-boxes (exact — models/arap.py:crop_box), grouped by bucket shape, and each
-group runs as ONE batched compiled program (models/arap.py:
-solve_and_raster_batch). Segments too large for any bucket fall back to a
-single full-frame solve.
+replacement: each segment is cropped to a TIGHT bucket-aligned solve box
+(exact — inert excluded pixels, docs/PARITY.md lemmas) paired with a larger
+displacement-padded CANVAS box for rasterization; tasks group by that
+(solve, canvas) bucket pair and each group runs as ONE batched compiled
+program (models/arap.py:solve_and_raster_canvas) with the per-problem PCG
+chains interleaved in a single Pallas kernel. BatchRunner streams: chunks
+dispatch the moment they fill, remainders pad up a bounded batch-size
+ladder, fetches happen in collect(). Segments too large for any bucket fall
+back to a single full-frame solve.
 """
 
 from __future__ import annotations

@@ -451,29 +451,48 @@ def prep_chunk_batched(
     # 0.59 vs 1.01 s/pair at 854×480 — the batched program's fused pyramids
     # go memory-bound, and one program per frame shape reuses fine across
     # pairs). Failures fall back to prep_pair's isolated retry below.
-    prematched: dict = {}
-    if flags.matcher == "native":
-        from ..ops.matching import match_images_dispatch, match_images_fetch
+    handles = prep_chunk_dispatch_match(flags, pairs)
+    return prep_chunk_finish(flags, pairs, handles, weights, bgpool)
 
+
+def prep_chunk_dispatch_match(flags: PipelineFlags, pairs):
+    """Phase A of chunk prep: decode + DISPATCH the matcher programs (async).
+
+    Called on the MAIN thread BEFORE the previous chunk's solves are
+    dispatched, so the matchers sit AHEAD of them in the device queue —
+    phase B (on the worker) can then fetch the matches and finish the whole
+    host prep while the previous chunk's solves still occupy the device
+    (otherwise the post-matcher host tail lands after the solves finish and
+    the device idles for it, ~0.2 s/pair measured)."""
+    if flags.matcher != "native":
+        return None
+    from ..ops.matching import match_images_dispatch
+
+    handles = []
+    with TIMER.stage("match dispatch"):
+        for p in pairs:
+            try:
+                _ensure_dirs(p)
+                d = decode_pair(flags, p)
+                if d is None:
+                    continue
+                handles.append((p, match_images_dispatch(
+                    d[4], d[5], radius=100,
+                    downscale=flags.match_downscale)))
+            except Exception as e:
+                log.warning("pair match dispatch failed: %s (%s)",
+                            p.rgb1_org, e)
+    return handles
+
+
+def prep_chunk_finish(flags: PipelineFlags, pairs, handles, weights, bgpool):
+    """Phase B of chunk prep: fetch matches, filter, backgrounds, bucket."""
+    from ..ops.matching import match_images_fetch
+    from .batch import make_task
+
+    prematched: dict = {}
+    if handles is not None:
         with TIMER.stage("matching"):
-            # dispatch ALL pairs' matcher programs first (async), then
-            # fetch: the device runs the matchers back-to-back while each
-            # pair's D2H + host selection overlaps the later pairs' device
-            # time (the old fetch-per-pair loop left the device idle during
-            # every selection)
-            handles = []
-            for p in pairs:
-                try:
-                    _ensure_dirs(p)
-                    d = decode_pair(flags, p)
-                    if d is None:
-                        continue
-                    handles.append((p, match_images_dispatch(
-                        d[4], d[5], radius=100,
-                        downscale=flags.match_downscale)))
-                except Exception as e:
-                    log.warning("pair match dispatch failed: %s (%s)",
-                                p.rgb1_org, e)
             for p, h in handles:
                 try:
                     m = match_images_fetch(h)
@@ -538,7 +557,7 @@ def dispatch_chunk_batched(prepped, cfg, weights, mesh=None):
     from .batch import BatchRunner
 
     works, tasks, fallbacks = prepped
-    runner = BatchRunner(cfg, mesh=mesh, weights=weights)
+    runner = BatchRunner(cfg, mesh=mesh, weights=weights, timer=TIMER)
     err = None
     try:
         for t in tasks:
@@ -723,22 +742,31 @@ def main_pipeline(
 
             chunks = [pairs[i : i + chunk]
                       for i in range(0, len(pairs), chunk)]
-            # depth-2 pipeline: while chunk k executes on the device, chunk
-            # k+1's host+matcher prep runs on the worker thread, AND chunk
-            # k-1's compose/write (finish_pair) runs on the main thread —
-            # the device never idles on host compose between chunks
+            # depth-2 pipeline: while chunk k's solves execute, chunk k+1's
+            # prep (phase B: match fetch, filter, bg, bucketing) runs on the
+            # worker thread and chunk k-1's compose/write runs on the main
+            # thread. Chunk k+1's MATCHER programs are dispatched (phase A,
+            # main thread) BEFORE chunk k's solves so they sit ahead in the
+            # device queue — prep(k+1) finishes well inside solves(k) and
+            # the device never idles between chunks.
             with ThreadPoolExecutor(max_workers=1) as ex:
-                fut = ex.submit(prep_chunk_batched, flags, chunks[0],
-                                deformer.weights, bgpool) if chunks else None
-                inflight = None  # (prepped, dispatched-runner-state)
+                fut = None
+                if chunks:
+                    ha = prep_chunk_dispatch_match(flags, chunks[0])
+                    fut = ex.submit(prep_chunk_finish, flags, chunks[0], ha,
+                                    deformer.weights, bgpool)
+                inflight = None  # dispatched-runner state of chunk k-1
                 for i, ch in enumerate(chunks):
                     print(f"{100.0 * i * chunk / max(len(pairs), 1):.3f}%",
                           flush=True)
+                    if i + 1 < len(chunks):
+                        ha_next = prep_chunk_dispatch_match(
+                            flags, chunks[i + 1])
                     prepped = fut.result()
                     if i + 1 < len(chunks):
-                        fut = ex.submit(prep_chunk_batched, flags,
-                                        chunks[i + 1], deformer.weights,
-                                        bgpool)
+                        fut = ex.submit(prep_chunk_finish, flags,
+                                        chunks[i + 1], ha_next,
+                                        deformer.weights, bgpool)
                     disp = dispatch_chunk_batched(
                         prepped, cfg, deformer.weights, mesh=mesh
                     )
