@@ -38,8 +38,16 @@ def load_mask(path) -> np.ndarray:
 
 
 def save_image(path, arr: np.ndarray) -> None:
-    """Save an (H, W[, 3]) uint8 array as PNG."""
-    Image.fromarray(np.asarray(arr, dtype=np.uint8)).save(path)
+    """Save an (H, W[, 3]) uint8 array as PNG.
+
+    compress_level=1: ~4× faster encode than PIL's default 6 at ~20% larger
+    files — PNG encoding of full frames was a measured pipeline-prep
+    bottleneck (~100 ms/frame at 854×480); pixels are identical."""
+    im = Image.fromarray(np.asarray(arr, dtype=np.uint8))
+    if str(path).lower().endswith(".png"):
+        im.save(path, compress_level=1)
+    else:
+        im.save(path)
 
 
 def mask_to_arap(annot_mask: np.ndarray) -> np.ndarray:

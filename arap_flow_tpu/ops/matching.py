@@ -547,7 +547,8 @@ def _knn_coherence(xs, ys, u, v, keep, k=6, tol=4.0, rel=0.2):
 
 def _select_from_grids(u, v, sc, fb_err, H, W, stride, fb_threshold,
                        score_threshold, radius, coherence: bool = True,
-                       off: int | None = None, step: int | None = None):
+                       off: int | None = None, step: int | None = None,
+                       roi=None):
     """Host selection from stride-grid planes (gh, gw): thresholds, then two
     local-coherence passes (the median stabilises after the first cleanup).
     `off`/`step` override the grid-plane → full-res coordinate mapping
@@ -570,6 +571,13 @@ def _select_from_grids(u, v, sc, fb_err, H, W, stride, fb_threshold,
         & (x2 >= 0) & (x2 < W) & (y2 >= 0) & (y2 < H)
         & (np.hypot(u, v) <= radius)
     )
+    if roi is not None:
+        # restrict to grid points on the caller's region of interest (the
+        # pipeline's segment mask): the downstream filter drops off-object
+        # matches anyway (para_gen.py:216-223), and the coherence pass below
+        # is O(points) host work — frame-wide selection was a measured prep
+        # bottleneck (~0.3 s/pair at 25k grid points)
+        keep &= np.asarray(roi)[ys, xs] != 0
     if coherence:
         if keep.sum() <= 4000:
             # sparse set (weakly textured / hard pair): exact k-nearest
@@ -632,6 +640,7 @@ def match_images(
     rotations: tuple = None,
     refine_passes: int = 1,
     downscale: int = 1,
+    roi_mask=None,
 ) -> np.ndarray:
     """Sparse matches between two (H, W, 3) uint8 images.
 
@@ -652,7 +661,8 @@ def match_images(
         rotations=rotations, refine_passes=refine_passes, downscale=downscale,
     )
     return match_images_fetch(handle, fb_threshold=fb_threshold,
-                              score_threshold=score_threshold)
+                              score_threshold=score_threshold,
+                              roi_mask=roi_mask)
 
 
 def match_images_dispatch(
@@ -682,8 +692,12 @@ def match_images_dispatch(
 
 
 def match_images_fetch(handle, fb_threshold: float = 1.5,
-                       score_threshold: float = 0.3) -> np.ndarray:
-    """Blocking half of match_images: D2H the grid planes + host selection."""
+                       score_threshold: float = 0.3,
+                       roi_mask=None) -> np.ndarray:
+    """Blocking half of match_images: D2H the grid planes + host selection.
+
+    roi_mask (optional (H, W), nonzero = of interest): restrict selection to
+    grid points on it before the coherence passes."""
     import os as _os
     import time as _time
 
@@ -696,7 +710,7 @@ def match_images_fetch(handle, fb_threshold: float = 1.5,
     return _select_from_grids(
         u * ds, v * ds, sg, fb * ds, H_, W_, stride,
         fb_threshold * ds, score_threshold, radius,
-        off=ds * (stride_d // 2), step=ds * stride_d,
+        off=ds * (stride_d // 2), step=ds * stride_d, roi=roi_mask,
     )
 
 

@@ -234,7 +234,8 @@ def scan_pairs(flags: PipelineFlags) -> list[PairPaths]:
 
 
 def run_matching(
-    flags: PipelineFlags, p: PairPaths, rgb1, rgb2, src_paths=None
+    flags: PipelineFlags, p: PairPaths, rgb1, rgb2, src_paths=None,
+    roi_mask=None,
 ) -> np.ndarray:
     """Produce raw matches (N,4+) for a pair, by backend.
 
@@ -265,7 +266,8 @@ def run_matching(
     from ..ops.matching import match_images
 
     return match_images(
-        rgb1, rgb2, radius=100, downscale=flags.match_downscale
+        rgb1, rgb2, radius=100, downscale=flags.match_downscale,
+        roi_mask=roi_mask,
     )[:, :4].astype(np.int32)
 
 
@@ -352,7 +354,8 @@ def prep_pair(
     else:
         with TIMER.stage("matching"):
             matches = run_matching(
-                flags, p, src1, src2, src_paths=(src1_path, src2_path)
+                flags, p, src1, src2, src_paths=(src1_path, src2_path),
+                roi_mask=mk1,
             )
     kept, seg_ids = filter_matches(matches, mk1, mk2)
     write_constraint_file(p.cstr_tmp, kept)  # cache (para_gen.py:479)
@@ -478,7 +481,7 @@ def prep_chunk_dispatch_match(flags: PipelineFlags, pairs):
                     continue
                 handles.append((p, match_images_dispatch(
                     d[4], d[5], radius=100,
-                    downscale=flags.match_downscale)))
+                    downscale=flags.match_downscale), d[1]))
             except Exception as e:
                 log.warning("pair match dispatch failed: %s (%s)",
                             p.rgb1_org, e)
@@ -493,9 +496,11 @@ def prep_chunk_finish(flags: PipelineFlags, pairs, handles, weights, bgpool):
     prematched: dict = {}
     if handles is not None:
         with TIMER.stage("matching"):
-            for p, h in handles:
+            for p, h, mk1 in handles:
                 try:
-                    m = match_images_fetch(h)
+                    # selection restricted to the annotated objects: the
+                    # constraint filter drops off-object matches anyway
+                    m = match_images_fetch(h, roi_mask=mk1)
                     prematched[id(p)] = m[:, :4].astype(np.int32)
                 except Exception as e:
                     log.warning("pair matching failed: %s (%s)",
@@ -756,13 +761,17 @@ def main_pipeline(
                     fut = ex.submit(prep_chunk_finish, flags, chunks[0], ha,
                                     deformer.weights, bgpool)
                 inflight = None  # dispatched-runner state of chunk k-1
+                prof = os.environ.get("ARAP_PROFILE")
                 for i, ch in enumerate(chunks):
                     print(f"{100.0 * i * chunk / max(len(pairs), 1):.3f}%",
                           flush=True)
+                    t0 = time.time()
                     if i + 1 < len(chunks):
                         ha_next = prep_chunk_dispatch_match(
                             flags, chunks[i + 1])
+                    t1 = time.time()
                     prepped = fut.result()
+                    t2 = time.time()
                     if i + 1 < len(chunks):
                         fut = ex.submit(prep_chunk_finish, flags,
                                         chunks[i + 1], ha_next,
@@ -770,10 +779,16 @@ def main_pipeline(
                     disp = dispatch_chunk_batched(
                         prepped, cfg, deformer.weights, mesh=mesh
                     )
+                    t3 = time.time()
                     if inflight is not None:
                         triples += collect_chunk_batched(
                             flags, inflight, cfg, deformer.weights, writer
                         )
+                    t4 = time.time()
+                    if prof:
+                        print(f"  [chunk {i}] phaseA {t1-t0:.2f}s "
+                              f"prep-wait {t2-t1:.2f}s dispatch {t3-t2:.2f}s "
+                              f"collect+finish {t4-t3:.2f}s", flush=True)
                     inflight = disp
                 if inflight is not None:
                     triples += collect_chunk_batched(
