@@ -97,8 +97,16 @@ def _solve_and_raster(ops, rgb_f, cfg: SolverConfig):
 # are multiples of 128 (TPU lane dim — anything else pads to the next vreg
 # boundary anyway); heights step by 32 where segments cluster.
 CROP_BUCKETS: tuple = (
-    (128, 256), (160, 256), (192, 256), (128, 384), (160, 384), (192, 384),
-    (208, 384), (224, 384), (256, 384), (256, 512), (320, 512), (384, 640),
+    # (rows, lanes); lanes on 128-multiples (TPU lane tiling). The tall-
+    # narrow column serves canonical tall objects AND transposed solves of
+    # wide-flat objects (pipeline/batch.make_task picks the cheaper
+    # orientation). Entries compile on demand; prewarm + the persistent jit
+    # cache amortise the ladder's width.
+    (64, 128), (96, 128), (128, 128), (160, 128), (192, 128), (224, 128),
+    (256, 128), (288, 128), (320, 128), (384, 128), (448, 128), (512, 128),
+    (96, 256), (128, 256), (160, 256), (192, 256), (224, 256), (256, 256),
+    (320, 256), (384, 256), (128, 384), (160, 384), (192, 384), (208, 384),
+    (224, 384), (256, 384), (288, 384), (256, 512), (320, 512), (384, 640),
     (512, 896),
 )
 
@@ -148,10 +156,15 @@ def pick_bucket(
     pt, pb, pl, pr = directional_pads(cons, margin)
     ylo, yhi = ymin - pt, ymax + 1 + pb
     xlo, xhi = xmin - pl, xmax + 1 + pr
-    for bh, bw in buckets:
-        if yhi - ylo <= bh <= H and xhi - xlo <= bw <= W:
-            return place_span(ylo, yhi, bh, H), place_span(xlo, xhi, bw, W), bh, bw
-    return None
+    fit = [
+        (bh * bw, bh, bw)
+        for bh, bw in buckets
+        if yhi - ylo <= bh <= H and xhi - xlo <= bw <= W
+    ]
+    if not fit:
+        return None
+    _, bh, bw = min(fit)
+    return place_span(ylo, yhi, bh, H), place_span(xlo, xhi, bw, W), bh, bw
 
 
 def crop_box(
@@ -268,7 +281,7 @@ class ArapDeformer:
         b_ops = jax.tree.map(lambda l: l[None], t.ops)
         flows, wrgbs, wmasks = solve_and_raster_canvas(
             b_ops, t.rgb[None], offs, self.cfg, canvas_hw=t.canvas,
-            compact_flow=False,
+            compact_flow=False, transposed=t.transposed,
         )
         bh, bw = t.bucket
         ch, cw = t.canvas
@@ -341,9 +354,10 @@ def _solve_and_raster_batch_impl(ops, rgb, dyn, static_key,
     return xs, flows, wrgbs, wmasks
 
 
-@partial(jax.jit, static_argnames=("static_key", "canvas_hw", "compact_flow"))
+@partial(jax.jit, static_argnames=("static_key", "canvas_hw", "compact_flow",
+                                   "transposed"))
 def _solve_and_raster_canvas_impl(ops, rgb, offs, dyn, static_key, canvas_hw,
-                                  compact_flow=True):
+                                  compact_flow=True, transposed=False):
     """Decoupled solve/raster: the 61k-iteration solve runs on the TIGHT
     object bucket; results are placed (per-problem dynamic offset) onto a
     larger canvas bucket that has the raster landing area. The displacement
@@ -353,13 +367,31 @@ def _solve_and_raster_canvas_impl(ops, rgb, offs, dyn, static_key, canvas_hw,
 
     ops/rgb: solve-bucket-shaped batched operands; offs: (B, 2) int32
     (dy, dx) of the solve box inside the canvas box. Returns
-    (flow (B,2,hs,ws), wrgb (B,3,Hc,Wc) u8, wmask (B,Hc,Wc) u8)."""
+    (flow (B,2,hs,ws), wrgb (B,3,Hc,Wc) u8, wmask (B,Hc,Wc) u8).
+
+    `transposed`: the operands hold the REFLECTED problem (x/y swapped —
+    pipeline/batch.make_task chose a tall-narrow bucket for a wide-flat
+    object); the solve runs in transposed coordinates and the resulting
+    planes are transposed back (u<->v swap) before rasterization, so flow /
+    raster / paste stay canonical. Exactness: the reflection conjugates the
+    ARAP energy (Rotate2D angle negates), giving the same linear systems up
+    to variable order; rgb stays canonical (it is only rasterized)."""
     cfg = S._rebuild_config(dyn, static_key)
     Hc, Wc = canvas_hw
 
     def one(o, r, off):
         o = _expand(o)
         x = S.anneal_solve(o, cfg)
+        if transposed:
+            # planes back to canonical orientation: x'[0] is the warped
+            # x'-position = canonical y, x'[1] = canonical x; the angle
+            # negates under reflection; mask/grid transpose spatially (the
+            # swapped-transposed grid IS the canonical UrShape grid)
+            x = jnp.stack([x[1].T, x[0].T, -x[2].T])
+            o = o._replace(
+                mask=o.mask.T,
+                grid=jnp.stack([o.grid[1].T, o.grid[0].T]),
+            )
         flow = S.flow_from_state(x, o)
         dy, dx = off[0], off[1]
         # canvas-absolute warped positions: shift by the solve-box offset
@@ -385,7 +417,8 @@ def _solve_and_raster_canvas_impl(ops, rgb, offs, dyn, static_key, canvas_hw,
 
 def solve_and_raster_canvas(ops_batched, rgb_batched, offs, cfg: SolverConfig,
                             canvas_hw: tuple, mesh=None,
-                            compact_flow: bool = True):
+                            compact_flow: bool = True,
+                            transposed: bool = False):
     """Batched tight-solve + canvas-raster (see _solve_and_raster_canvas_impl).
 
     offs: (B, 2) int32 (dy, dx) of each solve box inside its canvas box.
@@ -405,6 +438,7 @@ def solve_and_raster_canvas(ops_batched, rgb_batched, offs, cfg: SolverConfig,
     return _solve_and_raster_canvas_impl(
         ops_batched, rgb_batched, offs, cfg.dynamic, cfg.static_key,
         canvas_hw=tuple(canvas_hw), compact_flow=compact_flow,
+        transposed=transposed,
     )
 
 

@@ -29,6 +29,16 @@ from ..ops.solver import SolverConfig
 # bucket shapes (H, W): lane-friendly widths, covering typical DAVIS segments
 from ..models.arap import CROP_BUCKETS as DEFAULT_BUCKETS
 
+# --warmup subset: the full ladder is wide (31 shapes — tight fits are worth
+# ~15-30% solve area); precompiling all of it would cost 30+ cold compiles,
+# so prewarm covers the historically common mid-size shapes and the rest
+# compile on demand (one-time, persisted by the jit cache)
+PREWARM_BUCKETS: tuple = (
+    (128, 256), (160, 256), (192, 256), (128, 384), (160, 384), (192, 384),
+    (208, 384), (224, 384), (256, 384), (256, 512), (320, 512), (384, 640),
+    (512, 896),
+)
+
 
 def max_chunk_for(bucket: tuple, n_data: int = 1) -> int:
     """Largest batch of this bucket shape fitting the kernel VMEM budget.
@@ -67,6 +77,12 @@ class SegmentTask:
     canvas: tuple
     ops: E.ArapOperands
     rgb: jnp.ndarray  # (3, h, w) cropped uint8 (device-cast to f32)
+    # when True the solver operands (and the PCG kernel run) are TRANSPOSED
+    # relative to the canonical (bucket-shaped) solve box: wide-flat objects
+    # solve on a tall-narrow bucket with fewer padded lanes; the program
+    # transposes the warp field back before rasterization (the ARAP energy
+    # is reflection-conjugate: same linear systems up to variable order)
+    transposed: bool = False
 
 
 def make_task(
@@ -79,9 +95,17 @@ def make_task(
     buckets=DEFAULT_BUCKETS,
     pin_border: bool = True,
     margin: int = 8,
+    solve_margin: int = 2,
 ) -> SegmentTask | None:
     """Crop a segment problem into the smallest fitting solve/canvas bucket
-    pair (None -> use a full-frame fallback)."""
+    pair (None -> use a full-frame fallback).
+
+    `margin` pads the CANVAS (raster landing area beyond the directional
+    displacement bounds — the solver can overshoot sampled constraint
+    displacements slightly under rotation); `solve_margin` pads the SOLVE
+    box, where exactness only needs a 1-px excluded rim (inert-pixel +
+    border-pin lemmas, docs/PARITY.md) — keeping it tight drops segments
+    into smaller buckets for the deep PCG kernel."""
     from ..models.arap import directional_pads, place_span
 
     H, W = arap_mask.shape
@@ -98,18 +122,32 @@ def make_task(
         return None
     cy0, cx0, ch, cw = cbox
 
-    # tight solve box: object bbox + margin only (the displacement pads are
-    # masked-inert for the solve — exactness lemmas, docs/PARITY.md) — placed
-    # INSIDE the canvas box
-    ylo = max(bbox[0] - margin, cy0)
-    yhi = min(bbox[1] + 1 + margin, cy0 + ch)
-    xlo = max(bbox[2] - margin, cx0)
-    xhi = min(bbox[3] + 1 + margin, cx0 + cw)
-    bh, bw = ch, cw
-    for sh, sw in buckets:
-        if yhi - ylo <= sh <= ch and xhi - xlo <= sw <= cw:
-            bh, bw = sh, sw
-            break
+    # tight solve box: object bbox + solve_margin only (the displacement pads
+    # are masked-inert for the solve — exactness lemmas, docs/PARITY.md) —
+    # placed INSIDE the canvas box
+    ylo = max(bbox[0] - solve_margin, cy0)
+    yhi = min(bbox[1] + 1 + solve_margin, cy0 + ch)
+    xlo = max(bbox[2] - solve_margin, cx0)
+    xhi = min(bbox[3] + 1 + solve_margin, cx0 + cw)
+    hn, wn = yhi - ylo, xhi - xlo
+    # smallest solve bucket over BOTH orientations: a wide-flat object whose
+    # width wastes padded lanes often fits a tall-narrow bucket transposed
+    # (canonical footprint (bh, bw) = bucket (sw, sh)); the kernel cost is
+    # proportional to bucket area, the reflection is exact (same systems up
+    # to variable order — tests/test_crop.py)
+    fits = [
+        (sh * sw, sh, sw, False)
+        for sh, sw in buckets
+        if hn <= sh <= ch and wn <= sw <= cw
+    ] + [
+        (sh * sw, sw, sh, True)
+        for sh, sw in buckets
+        if wn <= sh <= cw and hn <= sw <= ch
+    ]
+    if not fits:
+        bh, bw, transposed = ch, cw, False
+    else:
+        _, bh, bw, transposed = min(fits)
     y0 = min(max(place_span(ylo, yhi, bh, H), cy0), cy0 + ch - bh)
     x0 = min(max(place_span(xlo, xhi, bw, W), cx0), cx0 + cw - bw)
 
@@ -124,7 +162,13 @@ def make_task(
     )
     # compact operands + u8 RGB: ~8x less H2D per task (the expansion runs
     # on device inside the jitted solve program, models/arap.py:_expand)
-    ops = E.build_compact(sub_mask, shifted[inside], weights)
+    if transposed:
+        # solver-side problem is the transpose: swap x/y in mask + cons
+        cons_t = shifted[inside][:, [1, 0, 3, 2]]
+        ops = E.build_compact(np.ascontiguousarray(sub_mask.T), cons_t,
+                              weights)
+    else:
+        ops = E.build_compact(sub_mask, shifted[inside], weights)
     return SegmentTask(
         pair_idx=pair_idx,
         seg_id=seg_id,
@@ -137,6 +181,7 @@ def make_task(
         canvas=(ch, cw),
         ops=ops,
         rgb=jnp.asarray(np.ascontiguousarray(sub_rgb.transpose(2, 0, 1))),
+        transposed=transposed,
     )
 
 
@@ -189,11 +234,12 @@ class BatchRunner:
             flows, wrgbs, wmasks = solve_and_raster_canvas(
                 batched_ops, rgb_b, offs, self.cfg,
                 canvas_hw=chunk_tasks[0].canvas, mesh=self.mesh,
+                transposed=chunk_tasks[0].transposed,
             )
         self.pending.append((chunk_tasks, n_real, flows, wrgbs, wmasks))
 
     def add(self, task: SegmentTask) -> None:
-        key = (task.bucket, task.canvas)
+        key = (task.bucket, task.canvas, task.transposed)
         buf = self.buffers.setdefault(key, [])
         buf.append(task)
         step = max_chunk_for(task.bucket, self.n_data)

@@ -643,10 +643,10 @@ def prewarm(cfg, weights, buckets=None, batched: bool = True,
     from ..io.constraints import add_border_pins
     from ..models.arap import solve_and_raster_canvas, _solve_and_raster
     from ..ops import energy as E
-    from .batch import DEFAULT_BUCKETS, max_chunk_for
+    from .batch import PREWARM_BUCKETS, max_chunk_for
 
     t_all = time.time()
-    for bh, bw in buckets or DEFAULT_BUCKETS:
+    for bh, bw in buckets or PREWARM_BUCKETS:
         t0 = time.time()
         mask = np.full((bh, bw), 255, np.uint8)
         mask[8 : bh - 8, 8 : bw - 8] = 0

@@ -46,6 +46,93 @@ def test_cropped_solve_matches_full():
     )
 
 
+def test_tight_solve_margin_exact():
+    """The solve box only needs a ~1-px excluded rim (inert-pixel +
+    border-pin lemmas); with solve_margin=2 the object must drop into a
+    SMALLER solve bucket than with margin=8 while products still match the
+    full-frame solve."""
+    from arap_flow_tpu.ops.energy import ArapWeights
+    from arap_flow_tpu.pipeline.batch import make_task
+
+    H, W = 200, 300
+    rng = np.random.default_rng(3)
+    arap_mask = np.full((H, W), 255, np.uint8)
+    arap_mask[60:136, 80:190] = 0  # 76x110 object
+    rgb = rng.integers(0, 255, (H, W, 3)).astype(np.uint8)
+    ys, xs = np.mgrid[64:132:8, 84:186:8]
+    # rotation + translation: rotated points overshoot the sampled grid
+    th = 0.08
+    cy, cx = 98.0, 135.0
+    xr = np.cos(th) * (xs - cx) - np.sin(th) * (ys - cy) + cx + 5
+    yr = np.sin(th) * (xs - cx) + np.cos(th) * (ys - cy) + cy + 3
+    cons = np.stack(
+        [xs.ravel(), ys.ravel(), np.round(xr).ravel(), np.round(yr).ravel()],
+        1,
+    ).astype(np.int32)
+
+    buckets = ((80, 128), (96, 128), (80, 256), (96, 256), (112, 256),
+               (144, 256), (176, 256))
+    tight = make_task(0, 0, rgb, arap_mask, cons, ArapWeights(),
+                      buckets=buckets)  # solve_margin=2 default
+    loose = make_task(0, 0, rgb, arap_mask, cons, ArapWeights(),
+                      buckets=buckets, solve_margin=8)
+    assert tight is not None and loose is not None
+    # 76+2*2=80 rows fits the 80-row bucket; 76+2*8=92 needs 96
+    assert tight.bucket[0] < loose.bucket[0], (tight.bucket, loose.bucket)
+
+    cfg = SolverConfig(num_anneal=3, gn_iters=2, max_pcg_iters=80,
+                       pcg_iters=80.0)
+    full = ArapDeformer(cfg).deform(rgb, arap_mask, cons)
+    dec = ArapDeformer(cfg, crop=True, crop_buckets=buckets).deform(
+        rgb, arap_mask, cons)
+    d = np.abs(dec.flow - full.flow)
+    assert np.median(d) < 0.05, np.median(d)
+    assert d.max() < 3.0, d.max()
+    agree = (dec.warped_mask > 0) == (full.warped_mask > 0)
+    assert agree.mean() > 0.99, agree.mean()
+
+
+def test_transposed_solve_matches_full():
+    """A wide-flat object (width just over a lane multiple) picks a TALL-
+    NARROW bucket transposed; the program solves the reflected problem and
+    transposes the warp field back — products must match the full-frame
+    solve (the reflection conjugates the energy: same systems up to
+    variable order and angle sign)."""
+    from arap_flow_tpu.ops.energy import ArapWeights
+    from arap_flow_tpu.pipeline.batch import make_task
+
+    H, W = 300, 450
+    rng = np.random.default_rng(5)
+    arap_mask = np.full((H, W), 255, np.uint8)
+    arap_mask[80:204, 60:324] = 0  # 124x264: wide-flat
+    rgb = rng.integers(0, 255, (H, W, 3)).astype(np.uint8)
+    ys, xs = np.mgrid[84:200:8, 64:320:8]
+    th = -0.06
+    cy, cx = 142.0, 192.0
+    xr = np.cos(th) * (xs - cx) - np.sin(th) * (ys - cy) + cx + 6
+    yr = np.sin(th) * (xs - cx) + np.cos(th) * (ys - cy) + cy - 4
+    cons = np.stack(
+        [xs.ravel(), ys.ravel(), np.round(xr).ravel(), np.round(yr).ravel()],
+        1,
+    ).astype(np.int32)
+
+    t = make_task(0, 0, rgb, arap_mask, cons, ArapWeights())
+    assert t is not None and t.transposed, (t and t.bucket)
+    # canonical footprint is wide-flat; solver operands are its transpose
+    assert t.bucket[1] > t.bucket[0]
+    assert t.ops.mask_u8.shape == (t.bucket[1], t.bucket[0])
+
+    cfg = SolverConfig(num_anneal=3, gn_iters=2, max_pcg_iters=80,
+                       pcg_iters=80.0)
+    full = ArapDeformer(cfg).deform(rgb, arap_mask, cons)
+    dec = ArapDeformer(cfg, crop=True).deform(rgb, arap_mask, cons)
+    d = np.abs(dec.flow - full.flow)
+    assert np.median(d) < 0.05, np.median(d)
+    assert d.max() < 3.0, d.max()
+    agree = (dec.warped_mask > 0) == (full.warped_mask > 0)
+    assert agree.mean() > 0.99, agree.mean()
+
+
 def test_canvas_decoupling_large_displacement():
     """A large displacement forces canvas bucket > solve bucket (the raster
     landing margins are solved nowhere); products must still match the
