@@ -641,7 +641,7 @@ def prewarm(cfg, weights, buckets=None, batched: bool = True,
     import jax.numpy as jnp
 
     from ..io.constraints import add_border_pins
-    from ..models.arap import solve_and_raster_canvas, _solve_and_raster
+    from ..models.arap import solve_and_raster_canvas
     from ..ops import energy as E
     from .batch import PREWARM_BUCKETS, max_chunk_for
 
@@ -656,16 +656,17 @@ def prewarm(cfg, weights, buckets=None, batched: bool = True,
         )
         ops = E.build_compact(mask, cons, weights)
         rgb = jnp.zeros((3, bh, bw), jnp.uint8)
-        if batched:
-            B = max_chunk_for((bh, bw), 1)
-            b_ops = jax.tree.map(lambda l: jnp.stack([l] * B), ops)
-            # warm the solve==canvas case (small-displacement pairs hit it;
-            # larger-displacement canvas combos compile on demand)
-            out = solve_and_raster_canvas(
-                b_ops, jnp.stack([rgb] * B), jnp.zeros((B, 2), jnp.int32),
-                cfg, canvas_hw=(bh, bw))
-        else:
-            out = _solve_and_raster(ops, rgb, cfg)
+        # warm the solve==canvas case (small-displacement pairs hit it;
+        # larger-displacement canvas combos compile on demand). Simple mode
+        # (crop=True) runs the SAME canvas program at B=1 with full-frame
+        # flow output — warm that exact signature, not the full-frame
+        # fallback (_solve_and_raster), which only rare no-bucket-fits
+        # segments hit.
+        B = max_chunk_for((bh, bw), 1) if batched else 1
+        b_ops = jax.tree.map(lambda l: jnp.stack([l] * B), ops)
+        out = solve_and_raster_canvas(
+            b_ops, jnp.stack([rgb] * B), jnp.zeros((B, 2), jnp.int32),
+            cfg, canvas_hw=(bh, bw), compact_flow=batched)
         jax.block_until_ready(out[1])
         print(f"warmup {bh}x{bw}: {time.time() - t0:.1f}s", flush=True)
     if frame_shape is not None:
