@@ -36,11 +36,25 @@ dist<60 / segment-consistency rules exactly as they are for DeepMatching.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+
+def _use_pallas_search() -> bool:
+    """Static (trace-time) backend pick for the z-score+NCC searches.
+
+    On TPU the fused Pallas kernel (ops/pallas_match.py) replaces ~50
+    executed XLA ops per search block with one kernel op — this platform
+    charges ~1 ms fixed cost per executed op (CLAUDE.md), so op count IS
+    the matcher's cost. Elsewhere (CPU tests) the XLA path remains.
+    Set ARAP_MATCH_PALLAS=0 to force the XLA path on TPU."""
+    if os.environ.get("ARAP_MATCH_PALLAS", "") in ("0", "off"):
+        return False
+    return jax.default_backend() == "tpu"
 
 
 def to_gray(rgb: jnp.ndarray) -> jnp.ndarray:
@@ -236,7 +250,8 @@ def _pyramid_flow_impl(
     pyr2 = [p[1] for p in pyr]
 
     coarse_r = max(2, int(np.ceil(radius / (2 ** levels))))
-    z1 = _zscore(pyr1[-1], patch)
+    if not _use_pallas_search():
+        z1 = _zscore(pyr1[-1], patch)
     Hc, Wc = pyr1[-1].shape
     ccy, ccx = (Hc - 1) / 2.0, (Wc - 1) / 2.0
     gxc, gyc = _grid(Hc, Wc)
@@ -273,13 +288,22 @@ def _pyramid_flow_impl(
     ])
     g2r = _bilinear(pyr2[-1], jnp.asarray(qx, jnp.float32),
                     jnp.asarray(qy, jnp.float32))  # (K, Hc, Wc)
-    z2 = _zscore(g2r, patch)
-    # the vectorized search materialises (n_off, Hc, Wc) PER hypothesis
-    # under vmap — divide its budget by K or large banks OOM on frames
-    # whose level clamp leaves a big coarse level
-    du, dv, sc = jax.vmap(
-        lambda z: _search(z1, z, coarse_r, patch, budget_div=len(hyps))
-    )(z2)
+    if _use_pallas_search():
+        # fused z-score+search kernel: never materialises the
+        # (n_off, Hc, Wc) stack; hypotheses batch through the grid axis
+        from .pallas_match import zncc_search
+
+        du, dv, sc = jax.vmap(
+            lambda g: zncc_search(pyr1[-1], g, coarse_r, patch)
+        )(g2r)
+    else:
+        z2 = _zscore(g2r, patch)
+        # the vectorized search materialises (n_off, Hc, Wc) PER hypothesis
+        # under vmap — divide its budget by K or large banks OOM on frames
+        # whose level clamp leaves a big coarse level
+        du, dv, sc = jax.vmap(
+            lambda z: _search(z1, z, coarse_r, patch, budget_div=len(hyps))
+        )(z2)
     # fold each hypothesis back into image-2 coordinates:
     # t(p) = M((p + d) − c) + c (identity reduces to p + d exactly)
     m00 = jnp.asarray(Ms[:, 0, 0], jnp.float32)[:, None, None]
@@ -324,9 +348,15 @@ def _pyramid_flow_impl(
         # tightens large-warp matching
         for _ in range(refine_passes):
             w2 = _bilinear(pyr2[lvl], gx + uv[0], gy + uv[1])
-            # z-score the reference and warped planes in one batched op-set
-            zz = _zscore(jnp.stack([pyr1[lvl], w2]), patch)
-            du, dv, score = _search(zz[0], zz[1], refine_radius, patch)
+            if _use_pallas_search():
+                from .pallas_match import zncc_search
+
+                du, dv, score = zncc_search(pyr1[lvl], w2, refine_radius,
+                                            patch)
+            else:
+                # z-score the reference and warped planes in one op-set
+                zz = _zscore(jnp.stack([pyr1[lvl], w2]), patch)
+                du, dv, score = _search(zz[0], zz[1], refine_radius, patch)
             uv = uv + jnp.stack([du, dv])
 
     return uv, score
