@@ -429,6 +429,24 @@ def _device_grid_select(fwd, bwd, score, stride: int):
     return u, v, sg, fb
 
 
+def _match_grid_impl(rgb1, rgb2, stride, radius, patch, levels,
+                     refine_radius, rotations, refine_passes, downscale):
+    g1, g2 = to_gray(rgb1.astype(jnp.float32)), to_gray(rgb2.astype(jnp.float32))
+    a = jnp.stack([g1, g2])
+    b = jnp.stack([g2, g1])
+    ds = downscale
+    while ds > 1:
+        a = _avg_pool2(a)
+        b = _avg_pool2(b)
+        ds //= 2
+    flows, scores = jax.vmap(
+        lambda x, y: _pyramid_flow_impl(x, y, radius, patch, levels,
+                                        refine_radius, rotations,
+                                        refine_passes)
+    )(a, b)
+    return _device_grid_select(flows[0], flows[1], scores[0], stride)
+
+
 @partial(jax.jit, static_argnames=("radius", "patch", "levels",
                                    "refine_radius", "rotations",
                                    "refine_passes", "stride", "downscale"))
@@ -449,20 +467,31 @@ def match_grid(rgb1, rgb2, stride: int = 4, radius: int = 100,
     dominant finest-level refine cost ~4×; precision loss is bounded by the
     downsample factor and forgiven by the constraint filter + solver
     (measured with the pipeline flow-accuracy gate)."""
-    g1, g2 = to_gray(rgb1.astype(jnp.float32)), to_gray(rgb2.astype(jnp.float32))
-    a = jnp.stack([g1, g2])
-    b = jnp.stack([g2, g1])
-    ds = downscale
-    while ds > 1:
-        a = _avg_pool2(a)
-        b = _avg_pool2(b)
-        ds //= 2
-    flows, scores = jax.vmap(
-        lambda x, y: _pyramid_flow_impl(x, y, radius, patch, levels,
-                                        refine_radius, rotations,
-                                        refine_passes)
-    )(a, b)
-    return _device_grid_select(flows[0], flows[1], scores[0], stride)
+    return _match_grid_impl(rgb1, rgb2, stride, radius, patch, levels,
+                            refine_radius, rotations, refine_passes,
+                            downscale)
+
+
+@partial(jax.jit, static_argnames=("radius", "patch", "levels",
+                                   "refine_radius", "rotations",
+                                   "refine_passes", "stride", "downscale"))
+def match_grid_multi(rgb1s, rgb2s, stride: int = 4, radius: int = 100,
+                     patch: int = 12, levels: int = 3, refine_radius: int = 2,
+                     rotations: tuple = DEFAULT_ROTATIONS,
+                     refine_passes: int = 1, downscale: int = 1):
+    """match_grid vmapped over a (B, 3, H, W) pair stack in ONE program.
+
+    With the fused Pallas search kernels the matcher is dominated by this
+    platform's fixed per-executed-op cost, which batching amortises across
+    pairs: measured 0.31 s/pair at B=1 → 0.159 at B=2 → 0.131 at B=4
+    (854×480). NOTE: before the kernels this was memory-bound and LOSING
+    (1.01 vs 0.59 s/pair — the old vmapped search materialised per-pair
+    offset stacks); the Pallas path never materialises them."""
+    return jax.vmap(
+        lambda a, b: _match_grid_impl(a, b, stride, radius, patch, levels,
+                                      refine_radius, rotations,
+                                      refine_passes, downscale)
+    )(rgb1s, rgb2s)
 
 
 @partial(jax.jit, static_argnames=("radius", "patch", "levels",
@@ -721,6 +750,56 @@ def match_images_dispatch(
     return (grids, H_, W_, stride, stride_d, ds, radius)
 
 
+class _SlicedGrids:
+    """One pair's view into a multi-pair match_grid_multi result: the
+    batched planes are fetched ONCE (four D2H transfers for the whole
+    sub-batch) and numpy-sliced per pair."""
+
+    def __init__(self, batched_grids, i: int):
+        self._batched = batched_grids  # shared across the sub-batch's views
+        self._i = i
+
+    def fetch(self):
+        b = self._batched
+        if not isinstance(b[0], np.ndarray):
+            b = tuple(np.asarray(a) for a in b)
+            self._batched = b
+        return tuple(a[self._i] for a in b)
+
+
+def match_images_dispatch_multi(
+    rgb_pairs: list, radius: int = 100, stride: int = 4, patch: int = 12,
+    levels: int = 3, rotations: tuple = None, refine_passes: int = 1,
+    downscale: int = 1,
+) -> list:
+    """Multi-pair async dispatch: ONE vmapped matcher program for a stack of
+    same-shaped (rgb1, rgb2) uint8 pairs (amortises the per-executed-op
+    fixed cost — see match_grid_multi). Returns one match_images_fetch-
+    compatible handle per pair; the batched D2H happens on the first fetch
+    and is shared by all of them."""
+    H_, W_ = rgb_pairs[0][0].shape[:2]
+    r1 = np.stack([np.ascontiguousarray(a.transpose(2, 0, 1))
+                   for a, _ in rgb_pairs])
+    r2 = np.stack([np.ascontiguousarray(b.transpose(2, 0, 1))
+                   for _, b in rgb_pairs])
+    ds = max(1, int(downscale))
+    stride_d = max(1, stride // ds)
+    rad_d, levels = clamp_match_params(
+        H_ // ds, W_ // ds, int(np.ceil(radius / ds)), patch, levels
+    )
+    if rotations is None:
+        rotations = DEFAULT_ROTATIONS
+    grids = match_grid_multi(
+        jnp.asarray(r1), jnp.asarray(r2), stride=stride_d, radius=rad_d,
+        patch=patch, levels=levels, rotations=rotations,
+        refine_passes=refine_passes, downscale=ds,
+    )
+    return [
+        (_SlicedGrids(grids, i), H_, W_, stride, stride_d, ds, radius)
+        for i in range(len(rgb_pairs))
+    ]
+
+
 def match_images_fetch(handle, fb_threshold: float = 1.5,
                        score_threshold: float = 0.3,
                        roi_mask=None) -> np.ndarray:
@@ -731,9 +810,12 @@ def match_images_fetch(handle, fb_threshold: float = 1.5,
     import os as _os
     import time as _time
 
-    (u, v, sg, fb), H_, W_, stride, stride_d, ds, radius = handle
+    g, H_, W_, stride, stride_d, ds, radius = handle
     _t0 = _time.time()
-    u, v, sg, fb = (np.asarray(a) for a in (u, v, sg, fb))
+    if isinstance(g, _SlicedGrids):
+        u, v, sg, fb = g.fetch()
+    else:
+        u, v, sg, fb = (np.asarray(a) for a in g)
     if _os.environ.get("ARAP_PROFILE"):
         print(f"  [match] d2h+select {_time.time() - _t0:.2f}s (ds={ds})",
               flush=True)

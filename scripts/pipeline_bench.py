@@ -72,6 +72,11 @@ def main():
              ("simple-ds2", "cold", 2), ("simple-ds2", "warm", 2),
              ("batched-ds2", "cold", 2), ("batched-ds2", "warm", 2),
              ("batched", "cold", 1), ("batched", "warm", 1))
+    # ARAP_BENCH_CASES=batched,simple runs only the named mode families
+    only = os.environ.get("ARAP_BENCH_CASES")
+    if only:
+        keep = {s.strip() for s in only.split(",")}
+        cases = tuple(c for c in cases if c[0] in keep)
     for name, run, ds in cases:
         mode = name.split("-")[0]
         out = osp.join(root, f"out_{name}_{run}")

@@ -300,3 +300,24 @@ def test_downscaled_matching_recovers_translation():
     assert good.mean() > 0.8, good.mean()
     # source coordinates live on the full-res grid
     assert m[:, 0].max() > W / 2 and m[:, 1].max() > H / 2
+
+
+def test_multi_pair_dispatch_matches_per_pair():
+    """match_images_dispatch_multi (ONE vmapped program per sub-batch) must
+    produce the same matches as per-pair match_images: same math, batched
+    through the program's leading axis."""
+    from arap_flow_tpu.ops.matching import (match_images_dispatch_multi,
+                                            match_images_fetch)
+
+    H, W = 96, 128
+    pairs = []
+    for s, (dy, dx) in ((0, (3, 5)), (1, (-4, 2)), (2, (6, -3))):
+        im1 = _texture(H, W, seed=s)
+        im2 = np.roll(np.roll(im1, dy, axis=0), dx, axis=1)
+        pairs.append((im1, im2))
+    handles = match_images_dispatch_multi(pairs, radius=24, levels=2)
+    for (im1, im2), h in zip(pairs, handles):
+        got = match_images_fetch(h)
+        ref = match_images(im1, im2, radius=24, levels=2)
+        assert got.shape == ref.shape, (got.shape, ref.shape)
+        assert np.array_equal(got, ref)
