@@ -34,7 +34,10 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-N_PAIRS = 8  # pairs per timed batch (2 segments each)
+N_PAIRS = 16  # pairs per timed batch (2 segments each): enough chunks that
+# the streaming runner's startup prep bubble and the last chunk's fetch+paste
+# tail amortize (at 8 pairs they were ~22% of the run — steady-state
+# throughput is the honest number for a streaming pipeline)
 H, W = 480, 854
 SEG_SHAPES = (((90, 330), (180, 300)), ((260, 480), (120, 260)))  # centers/sizes
 
@@ -114,7 +117,7 @@ def main():
             i for j in range(len(SEG_SHAPES))
             for i in range(j, len(problems), len(SEG_SHAPES))
         ]
-        with ThreadPoolExecutor(2) as ex:
+        with ThreadPoolExecutor(4) as ex:
             futs = {
                 i: ex.submit(make_task, i, 0, *problems[i], ArapWeights())
                 for i in order
