@@ -45,8 +45,10 @@ from ..utils.profiling import StageTimer
 TIMER = StageTimer()  # populated when ARAP_PROFILE=1
 
 # pairs per vmapped matcher program in batched mode (fixed so the compile
-# set stays at two programs: B=this and B=1 for ragged tails)
-MATCH_SUBBATCH = 4
+# set stays at two programs: B=this and B=1 for ragged tails; measured
+# 0.31/0.159/0.131 s/pair at B=1/2/4, 854x480 — ARAP_MATCH_SUBBATCH overrides
+# for probing larger sub-batches)
+MATCH_SUBBATCH = int(os.environ.get("ARAP_MATCH_SUBBATCH", "4"))
 
 # canonical directory names (para_gen.py:18-26)
 ORGCOLOR = "orgRGB"
@@ -497,20 +499,31 @@ def prep_chunk_dispatch_match(flags: PipelineFlags, pairs):
             groups.setdefault(d[4].shape, []).append((p, d))
         for _, grp in groups.items():
             i, retry = 0, []
-            while i + MATCH_SUBBATCH <= len(grp):
+            while i < len(grp):
                 sub = grp[i : i + MATCH_SUBBATCH]
+                i += MATCH_SUBBATCH
+                n_real = len(sub)
+                if n_real == 1:
+                    # a single leftover runs per-pair: one B=1 program beats
+                    # B-1 wasted duplicate slots
+                    retry.extend(sub)
+                    continue
+                # ragged tail (2..B-1): pad by repeating the last pair — the
+                # wasted duplicate slots cost ~0.13 s each vs ~0.31 s per
+                # per-pair program (measured, 854x480)
+                padded = sub + [sub[-1]] * (MATCH_SUBBATCH - n_real)
                 try:
                     hs = match_images_dispatch_multi(
-                        [(d[4], d[5]) for _, d in sub], radius=100,
+                        [(d[4], d[5]) for _, d in padded], radius=100,
                         downscale=flags.match_downscale)
                     handles.extend(
-                        (p, h, d[1]) for (p, d), h in zip(sub, hs))
+                        (p, h, d[1])
+                        for (p, d), h in zip(sub, hs[:n_real]))
                 except Exception as e:
                     log.warning("multi match dispatch failed (%s); "
                                 "falling back per-pair", e)
                     retry.extend(sub)
-                i += MATCH_SUBBATCH
-            for p, d in retry + grp[i:]:
+            for p, d in retry:
                 try:
                     handles.append((p, match_images_dispatch(
                         d[4], d[5], radius=100,

@@ -21,6 +21,25 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 from PIL import Image
 
 
+def _bounce(t, step, lo, hi):
+    """Triangle-wave drift: |per-frame motion| stays `step` and the value
+    stays inside [lo, hi] for ANY t (objects leaving the frame would change
+    segment bboxes -> new crop buckets -> cold compiles polluting the warm
+    steady-state measurement)."""
+    span = hi - lo
+    ph = (step * t) % (2 * span)
+    return lo + (ph if ph <= span else 2 * span - ph)
+
+
+def object_positions(t):
+    """Top-left anchors of the two bench objects at frame t (textures ride
+    the anchors, so per-pair object motion = positions(t+1) - positions(t))."""
+    return (
+        (_bounce(t, 6, 90, 270), _bounce(t, 9, 120, 540)),
+        (_bounce(t + 60, 4, 120, 330), _bounce(t + 43, 7, 180, 660)),
+    )
+
+
 def make_dataset(root, n_frames, H=480, W=854, seed=0):
     rng = np.random.default_rng(seed)
     base = np.kron(
@@ -37,13 +56,12 @@ def make_dataset(root, n_frames, H=480, W=854, seed=0):
     for t in range(n_frames):
         img = bg.copy()
         mask = np.zeros((H, W), np.uint8)
-        y0, x0 = 90 + 6 * t, 120 + 9 * t
+        (y0, x0), (y1, x1) = object_positions(t)
         ob1 = ((yy - y0 - 90) / 90.0) ** 2 + ((xx - x0 - 140) / 140.0) ** 2 < 1
-        img[ob1] = tex[yy[ob1] - 6 * t, xx[ob1] - 9 * t]
+        img[ob1] = tex[(yy[ob1] - y0) % H, (xx[ob1] - x0) % W]
         mask[ob1] = 1
-        y1, x1 = 300 - 4 * t, 480 + 7 * t
         ob2 = ((yy - y1 - 60) / 60.0) ** 2 + ((xx - x1 - 90) / 90.0) ** 2 < 1
-        img[ob2] = tex[yy[ob2] + 4 * t, xx[ob2] - 7 * t]
+        img[ob2] = tex[(yy[ob2] - y1) % H, (xx[ob2] - x1) % W]
         mask[ob2] = 2
         Image.fromarray(img).save(
             osp.join(root, "orgRGB", "seq0", f"{t:05d}.jpg"), quality=95
@@ -97,10 +115,10 @@ def main():
 
 def check_flow_accuracy(out_dir, data_dir):
     """Correctness gate on the bench products: the synthetic objects
-    translate rigidly by (+9, +6) and (+7, −4) px/frame (make_dataset), so
-    the produced .flo must recover those displacements on the object
-    interiors. Segment ids come from the ORIGINAL annotation mask (the
-    pipeline's saved inpMasks are binary ARAP masks)."""
+    translate rigidly (object_positions), so the produced .flo must recover
+    frame 0→1's displacements on the object interiors. Segment ids come from
+    the ORIGINAL annotation mask (the pipeline's saved inpMasks are binary
+    ARAP masks)."""
     import numpy as np
 
     from arap_flow_tpu.io import flo as flo_io
@@ -114,8 +132,14 @@ def check_flow_accuracy(out_dir, data_dir):
     mask = np.array(Image.open(msk_path))
     if mask.ndim == 3:
         mask = mask[..., 0]
+    p0, p1 = object_positions(0), object_positions(1)
+    moves = [
+        (seg + 1, (float(p1[seg][1] - p0[seg][1]),
+                   float(p1[seg][0] - p0[seg][0])))
+        for seg in (0, 1)
+    ]
     ok = True
-    for seg, (du, dv) in ((1, (9.0, 6.0)), (2, (7.0, -4.0))):
+    for seg, (du, dv) in moves:
         sel = mask == seg
         if sel.sum() < 100:
             continue
