@@ -134,6 +134,16 @@ def _jtj_factored(px, py, pa, s, c, vm_list, gx, gy, fitw, TxW, TyW, degw,
         d.append(vm_list[k] * (px - _roll2(px, dy, dx)))
         e.append(vm_list[k] * (py - _roll2(py, dy, dx)))
     paj = [_roll2(pa, dy, dx) for dy, dx in DIRS]
+    return _jtj_factored_core(px, py, pa, d, e, paj, s, c, gx, gy,
+                              fitw, TxW, TyW, degw, wr2)
+
+
+def _jtj_factored_core(px, py, pa, d, e, paj, s, c, gx, gy, fitw, TxW, TyW,
+                       degw, wr2):
+    """Assembly of the factored JtJ apply from precomputed masked neighbor
+    differences d/e and rolled angles paj (see _jtj_factored; the tall-layout
+    kernel computes d/e/paj from 4 stacked rolls instead of 12 per-plane
+    ones)."""
     Lx = (d[0] + d[1]) + (d[2] + d[3])
     Ly = (e[0] + e[1]) + (e[2] + e[3])
     # Σ tx_k·d_k with tx = (−s, s, −c, c) per DIRS; ty = (c, −c, −s, s)
@@ -266,6 +276,123 @@ def pcg_pallas(
         ),
         interpret=interpret,
     )(b, pre, s, c, vmasks, fitmask, w, n)
+
+
+def _pcg_kernel_tall(
+    b_ref,      # (3H, W) stacked [bx; by; ba]
+    pre_ref,    # (3H, W)
+    s_ref,      # (H, W)
+    c_ref,      # (H, W)
+    vm_ref,     # (4, H, W)
+    fit_ref,    # (H, W)
+    w_ref,      # (1, 2) SMEM
+    n_ref,      # (1, 1) SMEM
+    delta_ref,  # (3H, W)
+    r_ref, p_ref,               # scratch (3H, W)
+    gx_ref, gy_ref, k_ref,      # scratch (4, H, W)
+):
+    """Tall-layout single-problem kernel (see _pcg_kernel_batched_tall):
+    state stacked as one (3H, W) plane, 4 rolls per JtJ apply instead of 12;
+    sub-plane boundary wrap rows are inert by InBounds vmask gating."""
+    wf2 = w_ref[0, 0]
+    wr2 = w_ref[0, 1]
+    H = s_ref.shape[0]
+    s = s_ref[:]
+    c = c_ref[:]
+    vm = [vm_ref[0], vm_ref[1], vm_ref[2], vm_ref[3]]
+    pre = pre_ref[:]
+
+    gx, gy, fitw, TxW, TyW, degw = _precompute_const_planes(
+        s, c, vm, fit_ref[:], wf2, wr2
+    )
+    for k in range(4):
+        gx_ref[k] = gx[k]
+        gy_ref[k] = gy[k]
+    k_ref[0] = fitw
+    k_ref[1] = TxW
+    k_ref[2] = TyW
+    k_ref[3] = degw
+
+    r0 = b_ref[:]
+    z0 = pre * r0
+    r_ref[:] = r0
+    p_ref[:] = z0
+    delta_ref[:] = jnp.zeros_like(r0)
+    rz0 = jnp.sum(r0 * z0)
+
+    def body(_, rz):
+        P = p_ref[:]
+        px, py, pa = P[0:H], P[H : 2 * H], P[2 * H :]
+        d, e, paj = [], [], []
+        for k, (dy, dx) in enumerate(DIRS):
+            R = _roll2(P, dy, dx)
+            d.append(vm[k] * (px - R[0:H]))
+            e.append(vm[k] * (py - R[H : 2 * H]))
+            paj.append(R[2 * H :])
+        apx, apy, apa = _jtj_factored_core(
+            px, py, pa, d, e, paj, s, c,
+            [gx_ref[0], gx_ref[1], gx_ref[2], gx_ref[3]],
+            [gy_ref[0], gy_ref[1], gy_ref[2], gy_ref[3]],
+            k_ref[0], k_ref[1], k_ref[2], k_ref[3], wr2,
+        )
+        pap = jnp.sum(px * apx + py * apy + pa * apa)
+        alpha = jnp.where(pap > 0.0, rz / pap, 0.0)
+        delta_ref[0:H] = delta_ref[0:H] + alpha * px
+        delta_ref[H : 2 * H] = delta_ref[H : 2 * H] + alpha * py
+        delta_ref[2 * H :] = delta_ref[2 * H :] + alpha * pa
+        rx = r_ref[0:H] - alpha * apx
+        ry = r_ref[H : 2 * H] - alpha * apy
+        ra = r_ref[2 * H :] - alpha * apa
+        r_ref[0:H] = rx
+        r_ref[H : 2 * H] = ry
+        r_ref[2 * H :] = ra
+        zx = pre[0:H] * rx
+        zy = pre[H : 2 * H] * ry
+        za = pre[2 * H :] * ra
+        rz_new = jnp.sum(zx * rx + zy * ry + za * ra)
+        beta = jnp.where(rz > 0.0, rz_new / rz, 0.0)
+        p_ref[0:H] = zx + beta * px
+        p_ref[H : 2 * H] = zy + beta * py
+        p_ref[2 * H :] = za + beta * pa
+        return rz_new
+
+    jax.lax.fori_loop(0, n_ref[0, 0], body, rz0,
+                      unroll=_UNROLL if _UNROLL > 1 else False)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def pcg_pallas_tall(b, pre, s, c, vmasks, fitmask, wf2, wr2, iters,
+                    interpret: bool = False):
+    """Tall-layout single-problem resident PCG — same semantics as
+    pcg_pallas. Vmaps into a Pallas grid over problems exactly like the
+    standard kernel (the production canvas path vmaps anneal_solve)."""
+    H, W = s.shape
+    w = jnp.array([[wf2, wr2]], jnp.float32)
+    n = jnp.array([[iters]], jnp.int32)
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _pcg_kernel_tall,
+        out_shape=jax.ShapeDtypeStruct((3 * H, W), jnp.float32),
+        in_specs=[
+            vspec, vspec, vspec, vspec, vspec, vspec,
+            pl.BlockSpec((1, 2), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+        ],
+        out_specs=vspec,
+        scratch_shapes=[
+            pltpu.VMEM((3 * H, W), jnp.float32),
+            pltpu.VMEM((3 * H, W), jnp.float32),
+            pltpu.VMEM((4, H, W), jnp.float32),
+            pltpu.VMEM((4, H, W), jnp.float32),
+            pltpu.VMEM((4, H, W), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(b.reshape(3 * H, W), pre.reshape(3 * H, W), s, c, vmasks, fitmask,
+      w, n)
+    return out.reshape(3, H, W)
 
 
 # resident planes: 13 input + 3 output + 18 scratch + live temporaries
@@ -403,17 +530,157 @@ def pcg_pallas_batched(b, pre, s, c, vmasks, fitmask, wf2, wr2, iters,
     )(b, pre, s, c, vmasks, fitmask, w, n)
 
 
+def _pcg_kernel_batched_tall(
+    b_ref,      # (B, 3H, W) stacked [bx; by; ba]
+    pre_ref,    # (B, 3H, W)
+    s_ref,      # (B, H, W)
+    c_ref,      # (B, H, W)
+    vm_ref,     # (B, 4, H, W)
+    fit_ref,    # (B, H, W)
+    w_ref,      # (1, 2) SMEM
+    n_ref,      # (1, 1) SMEM
+    delta_ref,  # (B, 3H, W)
+    r_ref, p_ref,               # scratch (B, 3H, W)
+    gx_ref, gy_ref,             # scratch (B, 4, H, W)
+    k_ref,                      # scratch (B, 4, H, W)
+):
+    """Tall-layout variant of _pcg_kernel_batched: solver state lives as ONE
+    stacked (3H, W) plane per problem, so each JtJ apply needs 4 stacked
+    rolls instead of 12 per-channel ones (d/e/paj fall out of row slices of
+    the rolled stack). Rows wrapping across the px/py/pa sub-plane boundaries
+    land only on first/last rows of each sub-plane, where the corresponding
+    direction mask is zero by InBounds gating — the same inertness lemma that
+    makes plain wrap-around rolls exact. Arithmetic is otherwise identical
+    (_jtj_factored_core) — tested equal to the standard kernel."""
+    wf2 = w_ref[0, 0]
+    wr2 = w_ref[0, 1]
+    B = s_ref.shape[0]
+    H = s_ref.shape[1]
+
+    for bi in range(B):
+        vm = [vm_ref[bi, 0], vm_ref[bi, 1], vm_ref[bi, 2], vm_ref[bi, 3]]
+        gx, gy, fitw, TxW, TyW, degw = _precompute_const_planes(
+            s_ref[bi], c_ref[bi], vm, fit_ref[bi], wf2, wr2
+        )
+        for k in range(4):
+            gx_ref[bi, k] = gx[k]
+            gy_ref[bi, k] = gy[k]
+        k_ref[bi, 0] = fitw
+        k_ref[bi, 1] = TxW
+        k_ref[bi, 2] = TyW
+        k_ref[bi, 3] = degw
+        r0 = b_ref[bi]
+        z0 = pre_ref[bi] * r0
+        r_ref[bi] = r0
+        p_ref[bi] = z0
+        delta_ref[bi] = jnp.zeros_like(r0)
+
+    def rz_of(bi):
+        r = r_ref[bi]
+        return jnp.sum(pre_ref[bi] * r * r).reshape(1)
+
+    rz0 = jnp.concatenate([rz_of(bi) for bi in range(B)])
+
+    def body(_, rz):
+        rz_new_parts = []
+        for bi in range(B):
+            P = p_ref[bi]
+            px, py, pa = P[0:H], P[H : 2 * H], P[2 * H :]
+            vm = [vm_ref[bi, 0], vm_ref[bi, 1], vm_ref[bi, 2], vm_ref[bi, 3]]
+            d, e, paj = [], [], []
+            for k, (dy, dx) in enumerate(DIRS):
+                R = _roll2(P, dy, dx)
+                d.append(vm[k] * (px - R[0:H]))
+                e.append(vm[k] * (py - R[H : 2 * H]))
+                paj.append(R[2 * H :])
+            apx, apy, apa = _jtj_factored_core(
+                px, py, pa, d, e, paj, s_ref[bi], c_ref[bi],
+                [gx_ref[bi, 0], gx_ref[bi, 1], gx_ref[bi, 2], gx_ref[bi, 3]],
+                [gy_ref[bi, 0], gy_ref[bi, 1], gy_ref[bi, 2], gy_ref[bi, 3]],
+                k_ref[bi, 0], k_ref[bi, 1], k_ref[bi, 2], k_ref[bi, 3], wr2,
+            )
+            pap = jnp.sum(px * apx + py * apy + pa * apa)
+            rz_b = rz[bi]
+            alpha = jnp.where(pap > 0.0, rz_b / pap, 0.0)
+            delta_ref[bi, 0:H] = delta_ref[bi, 0:H] + alpha * px
+            delta_ref[bi, H : 2 * H] = delta_ref[bi, H : 2 * H] + alpha * py
+            delta_ref[bi, 2 * H :] = delta_ref[bi, 2 * H :] + alpha * pa
+            rx = r_ref[bi, 0:H] - alpha * apx
+            ry = r_ref[bi, H : 2 * H] - alpha * apy
+            ra = r_ref[bi, 2 * H :] - alpha * apa
+            r_ref[bi, 0:H] = rx
+            r_ref[bi, H : 2 * H] = ry
+            r_ref[bi, 2 * H :] = ra
+            pre = pre_ref[bi]
+            zx = pre[0:H] * rx
+            zy = pre[H : 2 * H] * ry
+            za = pre[2 * H :] * ra
+            rz_new_b = jnp.sum(zx * rx + zy * ry + za * ra)
+            beta = jnp.where(rz_b > 0.0, rz_new_b / rz_b, 0.0)
+            p_ref[bi, 0:H] = zx + beta * px
+            p_ref[bi, H : 2 * H] = zy + beta * py
+            p_ref[bi, 2 * H :] = za + beta * pa
+            rz_new_parts.append(rz_new_b.reshape(1))
+        return jnp.concatenate(rz_new_parts)
+
+    jax.lax.fori_loop(0, n_ref[0, 0], body, rz0,
+                      unroll=_UNROLL if _UNROLL > 1 else False)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def pcg_pallas_batched_tall(b, pre, s, c, vmasks, fitmask, wf2, wr2, iters,
+                            interpret: bool = False):
+    """Tall-layout batched resident PCG (see _pcg_kernel_batched_tall).
+    Same signature/semantics as pcg_pallas_batched."""
+    B, H, W = s.shape
+    w = jnp.stack(
+        [jnp.asarray(wf2).reshape(-1)[0], jnp.asarray(wr2).reshape(-1)[0]]
+    ).reshape(1, 2).astype(jnp.float32)
+    n = jnp.full((1, 1), iters, jnp.int32)
+    vspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        _pcg_kernel_batched_tall,
+        out_shape=jax.ShapeDtypeStruct((B, 3 * H, W), jnp.float32),
+        in_specs=[
+            vspec, vspec, vspec, vspec, vspec, vspec,
+            pl.BlockSpec((1, 2), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1), memory_space=pltpu.SMEM),
+        ],
+        out_specs=vspec,
+        scratch_shapes=[
+            pltpu.VMEM((B, 3 * H, W), jnp.float32),
+            pltpu.VMEM((B, 3 * H, W), jnp.float32),
+            pltpu.VMEM((B, 4, H, W), jnp.float32),
+            pltpu.VMEM((B, 4, H, W), jnp.float32),
+            pltpu.VMEM((B, 4, H, W), jnp.float32),
+        ],
+        input_output_aliases={0: 0},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(b.reshape(B, 3 * H, W), pre.reshape(B, 3 * H, W), s, c, vmasks,
+      fitmask, w, n)
+    return out.reshape(B, 3, H, W)
+
+
 def pcg_solve_pallas(ops, s, c, jtf, diag, iters, interpret: bool = False):
     """Drop-in replacement for ops.solver.pcg_solve (fixed iteration count):
     returns (δ, iters). Falls back to the XLA path when the problem exceeds
-    the VMEM budget (crop buckets are sized to stay inside it)."""
+    the VMEM budget (crop buckets are sized to stay inside it).
+
+    ARAP_TALL_KERNEL=1 (set before first trace in the process) routes through
+    the stacked-plane layout kernel — a perf probe; identical math (tested)."""
+    import os
+
     from .solver import guarded_invert, pcg_solve
 
     H, W = s.shape
     if not fits_vmem(H, W):
         return pcg_solve(ops, s, c, jtf, diag, 10 ** 9, iters)
     pre = guarded_invert(diag)
-    delta = pcg_pallas(
+    kern = pcg_pallas_tall if os.environ.get("ARAP_TALL_KERNEL") else pcg_pallas
+    delta = kern(
         -jtf, pre, s, c, ops.vmasks, ops.fitmask, ops.wf2, ops.wr2,
         jnp.int32(iters), interpret=interpret,
     )

@@ -338,12 +338,17 @@ def _solve_batch_impl(ops, dyn, static_key):
     return jax.vmap(one)(ops)
 
 
-@partial(jax.jit, static_argnames=("static_key", "interpret"))
-def _solve_batch_kernel_impl(ops, dyn, static_key, interpret=False):
+@partial(jax.jit, static_argnames=("static_key", "interpret", "tall"))
+def _solve_batch_kernel_impl(ops, dyn, static_key, interpret=False,
+                             tall=False):
     """Batched solve driving the multi-problem resident PCG kernel: one
     iteration dependency chain shared by the whole bucket batch (the chain is
-    latency-bound for small problems)."""
-    from .pallas_pcg import pcg_pallas_batched
+    latency-bound for small problems). `tall` selects the stacked-plane
+    kernel layout (ARAP_TALL_KERNEL probe; same math, tested equal)."""
+    from .pallas_pcg import pcg_pallas_batched, pcg_pallas_batched_tall
+
+    if tall:
+        pcg_pallas_batched = pcg_pallas_batched_tall
 
     cfg = _rebuild_config(dyn, static_key)
     pcg_late = jnp.float32(cfg.pcg_iters)
@@ -416,7 +421,12 @@ def solve_batch(ops: ArapOperands, cfg: SolverConfig):
         and float(cfg.rz_tolerance) == 0.0
         and _batch_kernel_fits(ops)
     ):
-        xs, flows, _ = _solve_batch_kernel_impl(ops, cfg.dynamic, cfg.static_key)
+        import os
+
+        xs, flows, _ = _solve_batch_kernel_impl(
+            ops, cfg.dynamic, cfg.static_key,
+            tall=bool(os.environ.get("ARAP_TALL_KERNEL")),
+        )
         return xs, flows
     xs, flows, _ = _solve_batch_impl(ops, cfg.dynamic, cfg.static_key)
     return xs, flows

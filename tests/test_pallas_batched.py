@@ -86,3 +86,79 @@ def test_batched_kernel_honors_nonuniform_schedule():
     )
     assert float(n_u) == 4 * 30
     assert np.abs(np.asarray(flows_k) - np.asarray(flows_u)).max() > 1e-4
+
+
+def test_tall_kernels_match_standard():
+    """The tall stacked-plane layout kernels (ARAP_TALL_KERNEL probe) are the
+    same arithmetic as the standard kernels — 4 stacked rolls replace 12
+    per-plane ones, and every wrap row crossing a px/py/pa sub-plane boundary
+    is annihilated by the InBounds vmask gating. Only the reduction-tree
+    association differs ((3H,W) vs (3,H,W) sums → ~1e-5 at iteration 1), so
+    shallow runs compare tight and deep runs compare like the XLA-vs-Pallas
+    reference test: solutions agree to solver accuracy."""
+    from arap_flow_tpu.ops.pallas_pcg import (pcg_pallas,
+                                              pcg_pallas_batched_tall,
+                                              pcg_pallas_tall)
+
+    probs = [_problem(s) for s in range(3)]
+    batched = jax.tree.map(lambda *ls: jnp.stack(ls), *probs)
+    rng = np.random.default_rng(11)
+
+    jtfs, diags, ss, cs = [], [], [], []
+    for o in probs:
+        x = E.init_state(o) + 0.25 * jnp.asarray(
+            rng.standard_normal((3, *o.mask.shape)), jnp.float32
+        )
+        cimg = E.anneal_constraints(o, 1.0)
+        s, c = E.trig(x)
+        jtf, diag = E.jtf_and_diag(x, o, cimg)
+        jtfs.append(jtf)
+        diags.append(diag)
+        ss.append(s)
+        cs.append(c)
+
+    b = -jnp.stack(jtfs)
+    pre = S.guarded_invert(jnp.stack(diags))
+    def args_b(it):
+        return (jnp.stack(ss), jnp.stack(cs), batched.vmasks,
+                batched.fitmask, batched.wf2[0], batched.wr2[0],
+                jnp.int32(it))
+
+    # shallow: near-bitwise (only reduction association differs)
+    ref1 = pcg_pallas_batched(b, pre, *args_b(1), interpret=True)
+    tall1 = pcg_pallas_batched_tall(b, pre, *args_b(1), interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(tall1), np.asarray(ref1), rtol=1e-4, atol=1e-4
+    )
+
+    # deep: equal solution QUALITY (linear-system residual norm) — the
+    # truncated-CG trajectories themselves drift apart through float
+    # reassociation chaos, as in test_pallas_pcg_matches_reference
+    ref = pcg_pallas_batched(b, pre, *args_b(80), interpret=True)
+    tall = pcg_pallas_batched_tall(b, pre, *args_b(80), interpret=True)
+
+    def resnorm(delta, i, o):
+        sc = (ss[i], cs[i])
+        r = -jtfs[i] - E.apply_jtj(jnp.asarray(delta), o, *sc)
+        return float(jnp.linalg.norm(r))
+
+    for i, o in enumerate(probs):
+        res_ref = resnorm(np.asarray(ref[i]), i, o)
+        res_tall = resnorm(np.asarray(tall[i]), i, o)
+        assert res_tall < 2.0 * res_ref + 1e-3, (res_tall, res_ref)
+
+    # single-problem variant (the vmapped production canvas path)
+    for i, o in enumerate(probs):
+        def one(kern, it):
+            return kern(
+                -jtfs[i], S.guarded_invert(diags[i]), ss[i], cs[i], o.vmasks,
+                o.fitmask, o.wf2, o.wr2, jnp.int32(it), interpret=True,
+            )
+
+        np.testing.assert_allclose(
+            np.asarray(one(pcg_pallas_tall, 1)),
+            np.asarray(one(pcg_pallas, 1)), rtol=1e-4, atol=1e-4,
+        )
+        res_ref = resnorm(np.asarray(one(pcg_pallas, 80)), i, o)
+        res_tall = resnorm(np.asarray(one(pcg_pallas_tall, 80)), i, o)
+        assert res_tall < 2.0 * res_ref + 1e-3, (res_tall, res_ref)
