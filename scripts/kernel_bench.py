@@ -23,24 +23,30 @@ from pallas_check import bucket_problem, run
 
 
 def time_batched(H, W, B, cfg):
+    import os
+
     import jax
     import jax.numpy as jnp
 
+    tall = bool(os.environ.get("ARAP_TALL_KERNEL"))
     probs = [bucket_problem(H, W, seed=s) for s in range(B)]
     batched = jax.tree.map(lambda *ls: jnp.stack(ls), *probs)
     t0 = time.time()
-    xs, flows, n = S._solve_batch_kernel_impl(batched, cfg.dynamic, cfg.static_key)
+    xs, flows, n = S._solve_batch_kernel_impl(
+        batched, cfg.dynamic, cfg.static_key, tall=tall)
     f = np.asarray(flows)
     t_first = time.time() - t0
     ts = []
     for _ in range(3):
         t0 = time.time()
-        xs, flows, n = S._solve_batch_kernel_impl(batched, cfg.dynamic, cfg.static_key)
+        xs, flows, n = S._solve_batch_kernel_impl(
+            batched, cfg.dynamic, cfg.static_key, tall=tall)
         f = np.asarray(flows)
         ts.append(time.time() - t0)
     t = min(ts)
     per_iter = t / B / (19 * 8 * 400) * 1e6
-    print(f"batched B={B} {H}x{W}: t={t:.3f}s ({t/B*1000:.0f} ms/problem, "
+    print(f"batched{' TALL' if tall else ''} B={B} {H}x{W}: t={t:.3f}s "
+          f"({t/B*1000:.0f} ms/problem, "
           f"{per_iter:.2f} us/iter/problem; first {t_first:.0f}s)", flush=True)
 
 
