@@ -198,6 +198,78 @@ def _search(z1: jnp.ndarray, z2: jnp.ndarray, radius: int, patch: int,
     return bu, bv, best
 
 
+def _search_subpatch(g1: jnp.ndarray, g2: jnp.ndarray, radius: int,
+                     patch: int):
+    """DeepMatching-style split-and-rescore coarse search.
+
+    Rigid patch NCC collapses once the deformation WITHIN a patch reaches a
+    few pixels — exactly the regime DeepMatching's correlation quadtree is
+    built for (the reference's matcher contract, para_gen.py:227-240). This
+    is one recursion level of DM's bottom-up aggregation:
+
+      child(o, p)  = ZNCC of the half-size (k/2) sub-patch at p, offset o
+      relax(o, p)  = max over |o'−o|∞ ≤ 1 of child(o', p)     (rescore: each
+                     sub-patch may deviate ±1 offset from rigid placement)
+      parent(o, p) = ¼ Σ_{δ ∈ {±k/4}²} relax(o, p+δ)          (split: the four
+                     child centers)
+
+    Takes RAW (un-normalized) planes — children are z-scored at their own
+    k/2 scale so each child score is a true ZNCC. Same contract as
+    `_search`: returns (du, dv, score) planes, first-max raster-order
+    tie-breaking over the offset sweep.
+
+    Materialises the full (side², H, W) child-correlation stack to max-pool
+    over OFFSET space, so it is restricted to coarse pyramid levels: if the
+    stack exceeds the vectorized-search budget it falls back to the rigid
+    search (graceful — identical API, no silent precision cliff: the rigid
+    search is the production default anyway).
+    """
+    kc = max(2, patch // 2)
+    h = max(1, kc // 2)  # child-center offset from the parent center
+    n = float(kc * kc)
+    H, W = g1.shape
+    side = 2 * radius + 1
+    n_off = side * side
+    if n_off * H * W > _SEARCH_VEC_BUDGET:
+        zz = _zscore(jnp.stack([g1, g2]), patch)
+        return _search(zz[0], zz[1], radius, patch)
+    zz = _zscore(jnp.stack([g1, g2]), kc)
+    z1, z2 = zz[0], zz[1]
+    z2p = jnp.pad(z2, radius)
+    dys, dxs = np.mgrid[-radius : radius + 1, -radius : radius + 1]
+    dy = jnp.asarray(dys.ravel() + radius, jnp.int32)
+    dx = jnp.asarray(dxs.ravel() + radius, jnp.int32)
+    rows = dy[:, None, None] + jnp.arange(H, dtype=jnp.int32)[None, :, None]
+    cols = dx[:, None, None] + jnp.arange(W, dtype=jnp.int32)[None, None, :]
+    shifts = z2p[rows, cols]  # (n_off, H, W)
+    child = (_box_sum(z1[None] * shifts, kc) / n).reshape(side, side, H, W)
+    # rescore: 3×3 max-pool over the offset grid (−inf padding keeps border
+    # offsets honest — they only see real neighbors)
+    cp = jnp.pad(child, ((1, 1), (1, 1), (0, 0), (0, 0)),
+                 constant_values=-jnp.inf)
+    relax = child
+    for oy in range(3):
+        for ox in range(3):
+            if oy == 1 and ox == 1:
+                continue
+            relax = jnp.maximum(relax, cp[oy : oy + side, ox : ox + side])
+    # split: average the four children at p ± h (zero padding: a child
+    # centered off-plane contributes 0 — border cells are score-damped, and
+    # the downstream in-frame/score filters own that region anyway)
+    rp = jnp.pad(relax, ((0, 0), (0, 0), (h, h), (h, h)))
+    parent = 0.25 * (
+        rp[:, :, 0:H, 0:W]
+        + rp[:, :, 0:H, 2 * h : 2 * h + W]
+        + rp[:, :, 2 * h : 2 * h + H, 0:W]
+        + rp[:, :, 2 * h : 2 * h + H, 2 * h : 2 * h + W]
+    ).reshape(n_off, H, W)
+    best_idx = jnp.argmax(parent, axis=0)  # first max wins, raster order
+    best = jnp.take_along_axis(parent, best_idx[None], axis=0)[0]
+    bu = jnp.asarray(dxs.ravel(), jnp.float32)[best_idx]
+    bv = jnp.asarray(dys.ravel(), jnp.float32)[best_idx]
+    return bu, bv, best
+
+
 def _grid(H: int, W: int):
     gx = jnp.arange(W, dtype=jnp.float32)[None, :] * jnp.ones((H, 1), jnp.float32)
     gy = jnp.arange(H, dtype=jnp.float32)[:, None] * jnp.ones((1, W), jnp.float32)
@@ -225,6 +297,7 @@ def _pyramid_flow_impl(
     refine_radius: int = 2,
     rotations: tuple = (0.0,),
     refine_passes: int = 1,
+    subpatch: bool = False,
 ):
     """Dense coarse-to-fine NCC flow estimate (trace-level implementation).
 
@@ -240,6 +313,11 @@ def _pyramid_flow_impl(
     im2(M(q−c)+c) and searched; where that hypothesis wins on NCC score,
     the seeded target becomes t(p) = M(p + d − c) + c. Runs at the coarsest
     level only: K hypotheses cost K tiny batched searches.
+
+    `subpatch`: run the coarse search with DeepMatching-style split-and-
+    rescore (`_search_subpatch`) instead of rigid patch NCC — tolerant to
+    spatially-varying deformation WITHIN a patch, beyond what the (global)
+    affine hypotheses cover. Composes with `rotations`.
     """
     # both pyramids in one batched op-set (this platform charges ~1 ms per
     # executed HLO op — see CLAUDE.md; stacking halves the op count)
@@ -250,7 +328,7 @@ def _pyramid_flow_impl(
     pyr2 = [p[1] for p in pyr]
 
     coarse_r = max(2, int(np.ceil(radius / (2 ** levels))))
-    if not _use_pallas_search():
+    if not _use_pallas_search() and not subpatch:
         z1 = _zscore(pyr1[-1], patch)
     Hc, Wc = pyr1[-1].shape
     ccy, ccx = (Hc - 1) / 2.0, (Wc - 1) / 2.0
@@ -288,7 +366,14 @@ def _pyramid_flow_impl(
     ])
     g2r = _bilinear(pyr2[-1], jnp.asarray(qx, jnp.float32),
                     jnp.asarray(qy, jnp.float32))  # (K, Hc, Wc)
-    if _use_pallas_search():
+    if subpatch:
+        # split-and-rescore needs the materialised offset stack (the rescore
+        # max-pools over OFFSET space) — XLA form even on TPU; coarse levels
+        # are small and this mode is the hard-deformation opt-in
+        du, dv, sc = jax.vmap(
+            lambda g: _search_subpatch(pyr1[-1], g, coarse_r, patch)
+        )(g2r)
+    elif _use_pallas_search():
         # fused z-score+search kernel: never materialises the
         # (n_off, Hc, Wc) stack; hypotheses batch through the grid axis
         from .pallas_match import zncc_search
@@ -364,20 +449,21 @@ def _pyramid_flow_impl(
 
 @partial(jax.jit, static_argnames=("radius", "patch", "levels",
                                    "refine_radius", "rotations",
-                                   "refine_passes"))
+                                   "refine_passes", "subpatch"))
 def pyramid_flow(g1, g2, radius: int = 100, patch: int = 12, levels: int = 3,
                  refine_radius: int = 2, rotations: tuple = (0.0,),
-                 refine_passes: int = 1):
+                 refine_passes: int = 1, subpatch: bool = False):
     return _pyramid_flow_impl(g1, g2, radius, patch, levels, refine_radius,
-                              rotations, refine_passes)
+                              rotations, refine_passes, subpatch)
 
 
 @partial(jax.jit, static_argnames=("radius", "patch", "levels",
                                    "refine_radius", "rotations",
-                                   "refine_passes"))
+                                   "refine_passes", "subpatch"))
 def pyramid_flow_bidir(g1, g2, radius: int = 100, patch: int = 12,
                        levels: int = 3, refine_radius: int = 2,
-                       rotations: tuple = (0.0,), refine_passes: int = 1):
+                       rotations: tuple = (0.0,), refine_passes: int = 1,
+                       subpatch: bool = False):
     """Forward and backward flow in ONE compiled program (vmapped pair) —
     halves matcher compiles and dispatches. `rotations` must be a symmetric
     set (the backward direction sees the inverse rotation)."""
@@ -386,7 +472,7 @@ def pyramid_flow_bidir(g1, g2, radius: int = 100, patch: int = 12,
     return jax.vmap(
         lambda x, y: _pyramid_flow_impl(x, y, radius, patch, levels,
                                         refine_radius, rotations,
-                                        refine_passes)
+                                        refine_passes, subpatch)
     )(a, b)
 
 
@@ -430,7 +516,8 @@ def _device_grid_select(fwd, bwd, score, stride: int):
 
 
 def _match_grid_impl(rgb1, rgb2, stride, radius, patch, levels,
-                     refine_radius, rotations, refine_passes, downscale):
+                     refine_radius, rotations, refine_passes, downscale,
+                     subpatch=False):
     g1, g2 = to_gray(rgb1.astype(jnp.float32)), to_gray(rgb2.astype(jnp.float32))
     a = jnp.stack([g1, g2])
     b = jnp.stack([g2, g1])
@@ -442,18 +529,18 @@ def _match_grid_impl(rgb1, rgb2, stride, radius, patch, levels,
     flows, scores = jax.vmap(
         lambda x, y: _pyramid_flow_impl(x, y, radius, patch, levels,
                                         refine_radius, rotations,
-                                        refine_passes)
+                                        refine_passes, subpatch)
     )(a, b)
     return _device_grid_select(flows[0], flows[1], scores[0], stride)
 
 
 @partial(jax.jit, static_argnames=("radius", "patch", "levels",
                                    "refine_radius", "rotations",
-                                   "refine_passes", "stride", "downscale"))
+                                   "refine_passes", "subpatch", "stride", "downscale"))
 def match_grid(rgb1, rgb2, stride: int = 4, radius: int = 100,
                patch: int = 12, levels: int = 3, refine_radius: int = 2,
                rotations: tuple = DEFAULT_ROTATIONS, refine_passes: int = 1,
-               downscale: int = 1):
+               downscale: int = 1, subpatch: bool = False):
     """Bidirectional pyramid matching + device-side grid selection in ONE
     compiled program; returns (u, v, score, fb_err) stride-grid planes.
 
@@ -469,16 +556,17 @@ def match_grid(rgb1, rgb2, stride: int = 4, radius: int = 100,
     (measured with the pipeline flow-accuracy gate)."""
     return _match_grid_impl(rgb1, rgb2, stride, radius, patch, levels,
                             refine_radius, rotations, refine_passes,
-                            downscale)
+                            downscale, subpatch)
 
 
 @partial(jax.jit, static_argnames=("radius", "patch", "levels",
                                    "refine_radius", "rotations",
-                                   "refine_passes", "stride", "downscale"))
+                                   "refine_passes", "subpatch", "stride", "downscale"))
 def match_grid_multi(rgb1s, rgb2s, stride: int = 4, radius: int = 100,
                      patch: int = 12, levels: int = 3, refine_radius: int = 2,
                      rotations: tuple = DEFAULT_ROTATIONS,
-                     refine_passes: int = 1, downscale: int = 1):
+                     refine_passes: int = 1, downscale: int = 1,
+                     subpatch: bool = False):
     """match_grid vmapped over a (B, 3, H, W) pair stack in ONE program.
 
     With the fused Pallas search kernels the matcher is dominated by this
@@ -490,17 +578,17 @@ def match_grid_multi(rgb1s, rgb2s, stride: int = 4, radius: int = 100,
     return jax.vmap(
         lambda a, b: _match_grid_impl(a, b, stride, radius, patch, levels,
                                       refine_radius, rotations,
-                                      refine_passes, downscale)
+                                      refine_passes, downscale, subpatch)
     )(rgb1s, rgb2s)
 
 
 @partial(jax.jit, static_argnames=("radius", "patch", "levels",
                                    "refine_radius", "rotations",
-                                   "refine_passes"))
+                                   "refine_passes", "subpatch"))
 def match_fields(rgb1, rgb2, radius: int = 100, patch: int = 12,
                  levels: int = 3, refine_radius: int = 2,
                  rotations: tuple = DEFAULT_ROTATIONS,
-                 refine_passes: int = 1):
+                 refine_passes: int = 1, subpatch: bool = False):
     """Gray conversion + bidirectional pyramid flow in one program.
 
     Takes (3, H, W) float32 RGB directly off the host: jitted inputs must be
@@ -512,7 +600,7 @@ def match_fields(rgb1, rgb2, radius: int = 100, patch: int = 12,
     return pyramid_flow_bidir(g1, g2, radius=radius, patch=patch,
                               levels=levels, refine_radius=refine_radius,
                               rotations=rotations,
-                              refine_passes=refine_passes)
+                              refine_passes=refine_passes, subpatch=subpatch)
 
 
 def match_images_batched(
@@ -525,6 +613,7 @@ def match_images_batched(
     score_threshold: float = 0.3,
     rotations: tuple = None,
     refine_passes: int = 1,
+    subpatch: bool = False,
 ) -> list:
     """Matching over many (rgb1, rgb2) pairs: per-pair programs, one compile
     per frame shape. A vmapped multi-pair program was measured SLOWER than
@@ -536,7 +625,7 @@ def match_images_batched(
         match_images(r1, r2, radius=radius, stride=stride, patch=patch,
                      levels=levels, fb_threshold=fb_threshold,
                      score_threshold=score_threshold, rotations=rotations,
-                     refine_passes=refine_passes)
+                     refine_passes=refine_passes, subpatch=subpatch)
         for r1, r2 in pairs
     ]
 
@@ -700,6 +789,7 @@ def match_images(
     refine_passes: int = 1,
     downscale: int = 1,
     roi_mask=None,
+    subpatch: bool = False,
 ) -> np.ndarray:
     """Sparse matches between two (H, W, 3) uint8 images.
 
@@ -718,6 +808,7 @@ def match_images(
     handle = match_images_dispatch(
         rgb1, rgb2, radius=radius, stride=stride, patch=patch, levels=levels,
         rotations=rotations, refine_passes=refine_passes, downscale=downscale,
+        subpatch=subpatch,
     )
     return match_images_fetch(handle, fb_threshold=fb_threshold,
                               score_threshold=score_threshold,
@@ -727,7 +818,7 @@ def match_images(
 def match_images_dispatch(
     rgb1, rgb2, radius: int = 100, stride: int = 4, patch: int = 12,
     levels: int = 3, rotations: tuple = None, refine_passes: int = 1,
-    downscale: int = 1,
+    downscale: int = 1, subpatch: bool = False,
 ):
     """Async half of match_images: uploads + dispatches the device matcher
     and returns a handle (device grid planes + geometry). Pipelines: dispatch
@@ -746,7 +837,8 @@ def match_images_dispatch(
         rotations = DEFAULT_ROTATIONS
     grids = match_grid(j1, j2, stride=stride_d, radius=rad_d,
                        patch=patch, levels=levels, rotations=rotations,
-                       refine_passes=refine_passes, downscale=ds)
+                       refine_passes=refine_passes, downscale=ds,
+                       subpatch=subpatch)
     return (grids, H_, W_, stride, stride_d, ds, radius)
 
 
@@ -770,7 +862,7 @@ class _SlicedGrids:
 def match_images_dispatch_multi(
     rgb_pairs: list, radius: int = 100, stride: int = 4, patch: int = 12,
     levels: int = 3, rotations: tuple = None, refine_passes: int = 1,
-    downscale: int = 1,
+    downscale: int = 1, subpatch: bool = False,
 ) -> list:
     """Multi-pair async dispatch: ONE vmapped matcher program for a stack of
     same-shaped (rgb1, rgb2) uint8 pairs (amortises the per-executed-op
@@ -792,7 +884,7 @@ def match_images_dispatch_multi(
     grids = match_grid_multi(
         jnp.asarray(r1), jnp.asarray(r2), stride=stride_d, radius=rad_d,
         patch=patch, levels=levels, rotations=rotations,
-        refine_passes=refine_passes, downscale=ds,
+        refine_passes=refine_passes, downscale=ds, subpatch=subpatch,
     )
     return [
         (_SlicedGrids(grids, i), H_, W_, stride, stride_d, ds, radius)

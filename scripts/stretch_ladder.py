@@ -57,10 +57,10 @@ def ladder_case(stretch: float, H=256, W=384, lam=80.0, dx=30.0, seed=5):
 
 
 def measure(im1, im2, fwd_x, fwd_y, rotations, stride=4, margin=16,
-            radius=64):
+            radius=64, subpatch=False):
     H, W = im1.shape[:2]
     m = match_images(im1, im2, radius=radius, stride=stride,
-                     rotations=rotations)
+                     rotations=rotations, subpatch=subpatch)
     x1 = m[:, 0].astype(int)
     y1 = m[:, 1].astype(int)
     keep = ((x1 >= margin) & (x1 < W - margin)
@@ -80,6 +80,29 @@ def main():
 
     fast = "--fast" in sys.argv
     print("devices:", jax.devices(), flush=True)
+
+    if "--subpatch" in sys.argv:
+        # A/B the DeepMatching-style split-and-rescore coarse search
+        # (ops/matching._search_subpatch) against the rigid-patch default.
+        # MEASURED NEGATIVE (2026-08-18, CPU, this script): coverage drops at
+        # every stretch level (30%: 0.76→0.67, 50%: 0.47→0.34, 60%:
+        # 0.48→0.29, 80%: 0.27→0.12) with no accuracy gain — averaging four
+        # relaxed half-size children blurs the correlation peak on this
+        # matcher's already-coarse top level, and the affine stretch
+        # hypotheses cover the within-patch deformation axis better. The
+        # mode stays opt-in-off; see docs/PARITY.md.
+        print(f"\n{'stretch':>8s} | {'rigid cov/med':>15s} | "
+              f"{'subpatch cov/med':>17s} | {'sub+stretchhyp':>15s}")
+        for s in (0.30, 0.50, 0.60, 0.80):
+            im1, im2, fx, fy = ladder_case(s)
+            cd, md, _ = measure(im1, im2, fx, fy, DEFAULT_ROTATIONS)
+            cs, ms, _ = measure(im1, im2, fx, fy, DEFAULT_ROTATIONS,
+                                subpatch=True)
+            ch, mh, _ = measure(im1, im2, fx, fy, STRETCH_HYPOTHESES,
+                                subpatch=True)
+            print(f"{s:8.0%} | {cd:6.2f} {md:5.1f}   | {cs:6.2f} {ms:5.1f}"
+                  f"     | {ch:6.2f} {mh:5.1f}", flush=True)
+        return
 
     print(f"\n{'stretch':>8s} | {'default: cov  med  p90':>24s} | "
           f"{'stretch-hyp: cov  med  p90':>27s}")

@@ -321,3 +321,45 @@ def test_multi_pair_dispatch_matches_per_pair():
         ref = match_images(im1, im2, radius=24, levels=2)
         assert got.shape == ref.shape, (got.shape, ref.shape)
         assert np.array_equal(got, ref)
+
+
+def test_subpatch_mode_recovers_translation():
+    """subpatch=True (DeepMatching-style split-and-rescore coarse search,
+    ops/matching._search_subpatch) must stay correct on rigid motion even
+    though it is measured NEGATIVE on the stretch ladder (coverage drops at
+    every stretch level — see scripts/stretch_ladder.py --subpatch) and so
+    ships opt-in-off."""
+    H, W = 96, 128
+    im1 = _texture(H, W, seed=7)
+    dx, dy = 6, -3
+    im2 = np.roll(np.roll(im1, dy, axis=0), dx, axis=1)
+    m = match_images(im1, im2, radius=16, levels=2, stride=4, subpatch=True)
+    assert len(m) > 100
+    u = m[:, 2] - m[:, 0]
+    v = m[:, 3] - m[:, 1]
+    assert np.median(u) == dx and np.median(v) == dy
+    good = (np.abs(u - dx) <= 1) & (np.abs(v - dy) <= 1)
+    assert good.mean() > 0.8, good.mean()
+
+
+def test_subpatch_budget_fallback_equals_rigid():
+    """Above the vectorized-search budget _search_subpatch degrades to the
+    rigid search — identical (du, dv) planes, no silent precision cliff."""
+    import jax.numpy as jnp
+
+    from arap_flow_tpu.ops import matching as M
+
+    H, W, r, patch = 40, 56, 5, 8
+    rng = np.random.default_rng(11)
+    g1 = jnp.asarray(rng.standard_normal((H, W)), jnp.float32)
+    g2 = jnp.roll(g1, (2, -3), axis=(0, 1))
+    old = M._SEARCH_VEC_BUDGET
+    try:
+        M._SEARCH_VEC_BUDGET = 1  # force the fallback branch
+        du_f, dv_f, _ = M._search_subpatch(g1, g2, r, patch)
+    finally:
+        M._SEARCH_VEC_BUDGET = old
+    zz = M._zscore(jnp.stack([g1, g2]), patch)
+    du_r, dv_r, _ = M._search(zz[0], zz[1], r, patch)
+    assert np.array_equal(np.asarray(du_f), np.asarray(du_r))
+    assert np.array_equal(np.asarray(dv_f), np.asarray(dv_r))
