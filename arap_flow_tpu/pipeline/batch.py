@@ -274,49 +274,78 @@ class BatchRunner:
         self.flush()
         return self.collect()
 
-    def collect(self) -> dict[tuple, DeformResult]:
-        """Fetch every dispatched chunk and paste into full-frame canvases."""
-        for entry in self.pending:
-            group, n_real, flows, wrgbs, wmasks = entry[0], entry[1], *entry[2:]
-            if n_real is None:  # fallback: group is the (pair, seg) key
-                with self.timer.stage("D2H fetch"):
-                    flow = np.asarray(flows)
-                    wrgb = np.asarray(wrgbs)
-                    wmask = np.asarray(wmasks)
-                self.out[group] = DeformResult(
-                    flow=flow.transpose(1, 2, 0),
-                    warped_rgb=wrgb.transpose(1, 2, 0).astype(np.uint8),
-                    warped_mask=wmask.astype(np.uint8),
-                )
-                continue
-            with self.timer.stage("D2H fetch"):
-                flows = np.asarray(flows)
-                if flows.dtype == np.int16:  # compact i16 fixed-point flow
-                    from ..models.arap import FLOW_I16_SCALE
+    def _paste_chunk(self, group, n_real, flows, wrgbs, wmasks) -> None:
+        """Paste one fetched chunk into full-frame canvases (host numpy).
 
-                    flows = flows.astype(np.float32) / FLOW_I16_SCALE
-                wrgbs = np.asarray(wrgbs)
-                wmasks = np.asarray(wmasks)
-            with self.timer.stage("host paste"):
-                for i, t in enumerate(group[:n_real]):
-                    H, W = t.frame_hw
-                    bh, bw = t.bucket
-                    ch, cw = t.canvas
-                    flow = np.zeros((H, W, 2), np.float32)
-                    flow[t.y0 : t.y0 + bh, t.x0 : t.x0 + bw] = (
-                        flows[i].transpose(1, 2, 0)
+        One contiguous (B, h, w, c) conversion per chunk (a batched astype/
+        ascontiguousarray is one linear pass; the old per-segment strided
+        transpose-assignments walked the crop element-wise), then per-segment
+        slice writes. i16 fixed-point flow decodes here too: FLOW_I16_SCALE
+        is a power of two, so the reciprocal multiply is bit-exact with the
+        former divide."""
+        with self.timer.stage("host paste"):
+            fl = flows[:n_real].transpose(0, 2, 3, 1)
+            if fl.dtype == np.int16:  # compact i16 fixed-point flow
+                from ..models.arap import FLOW_I16_SCALE
+
+                fl = fl.astype(np.float32)  # contiguous single pass
+                fl *= np.float32(1.0 / FLOW_I16_SCALE)
+            else:
+                fl = np.ascontiguousarray(fl, np.float32)
+            rg = np.ascontiguousarray(
+                wrgbs[:n_real].transpose(0, 2, 3, 1)
+            ).astype(np.uint8, copy=False)
+            mk = wmasks[:n_real].astype(np.uint8, copy=False)
+            for i, t in enumerate(group[:n_real]):
+                H, W = t.frame_hw
+                bh, bw = t.bucket
+                ch, cw = t.canvas
+                flow = np.zeros((H, W, 2), np.float32)
+                flow[t.y0 : t.y0 + bh, t.x0 : t.x0 + bw] = fl[i]
+                rgb = np.zeros((H, W, 3), np.uint8)
+                rgb[t.cy0 : t.cy0 + ch, t.cx0 : t.cx0 + cw] = rg[i]
+                mask = np.zeros((H, W), np.uint8)
+                mask[t.cy0 : t.cy0 + ch, t.cx0 : t.cx0 + cw] = mk[i]
+                self.out[(t.pair_idx, t.seg_id)] = DeformResult(
+                    flow=flow, warped_rgb=rgb, warped_mask=mask
+                )
+
+    def collect(self) -> dict[tuple, DeformResult]:
+        """Fetch every dispatched chunk and paste into full-frame canvases.
+
+        Pastes run in ONE worker thread overlapped with the NEXT chunk's
+        D2H fetch — the fetch is a relay round-trip that waits on device
+        completion (CLAUDE.md), so the paste cost hides entirely behind it.
+        `self.out` is written only by the worker; the final result is read
+        after all pastes join."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(1) as ex:
+            futs = []
+            for entry in self.pending:
+                group, n_real = entry[0], entry[1]
+                flows, wrgbs, wmasks = entry[2:]
+                if n_real is None:  # fallback: group is the (pair, seg) key
+                    with self.timer.stage("D2H fetch"):
+                        flow = np.asarray(flows)
+                        wrgb = np.asarray(wrgbs)
+                        wmask = np.asarray(wmasks)
+                    self.out[group] = DeformResult(
+                        flow=flow.transpose(1, 2, 0),
+                        warped_rgb=wrgb.transpose(1, 2, 0).astype(np.uint8),
+                        warped_mask=wmask.astype(np.uint8),
                     )
-                    rgb = np.zeros((H, W, 3), np.uint8)
-                    rgb[t.cy0 : t.cy0 + ch, t.cx0 : t.cx0 + cw] = (
-                        wrgbs[i].transpose(1, 2, 0).astype(np.uint8)
-                    )
-                    mask = np.zeros((H, W), np.uint8)
-                    mask[t.cy0 : t.cy0 + ch, t.cx0 : t.cx0 + cw] = (
-                        wmasks[i].astype(np.uint8)
-                    )
-                    self.out[(t.pair_idx, t.seg_id)] = DeformResult(
-                        flow=flow, warped_rgb=rgb, warped_mask=mask
-                    )
+                    continue
+                with self.timer.stage("D2H fetch"):
+                    f_np = np.asarray(flows)
+                    r_np = np.asarray(wrgbs)
+                    m_np = np.asarray(wmasks)
+                futs.append(
+                    ex.submit(self._paste_chunk, group, n_real,
+                              f_np, r_np, m_np)
+                )
+            for f in futs:
+                f.result()  # join + propagate paste exceptions
         self.pending.clear()
         return self.out
 
