@@ -284,6 +284,11 @@ def _use_fused(ops, cfg: SolverConfig) -> bool:
         return False
     if float(cfg.q_tolerance) != 0.0 or float(cfg.rz_tolerance) != 0.0:
         return False
+    # the fused kernel runs a UNIFORM PCG budget; a non-uniform early/late
+    # schedule must route to a backend that honors it (this also keeps
+    # solve_stats' closed-form iteration count exact for the fused path)
+    if float(cfg.pcg_iters_early) > 0.0 and float(cfg.anneal_split) > 0.0:
+        return False
     from .pallas_solver import fits_vmem
 
     H, W = ops.mask.shape[-2:]
