@@ -199,7 +199,7 @@ def _search(z1: jnp.ndarray, z2: jnp.ndarray, radius: int, patch: int,
 
 
 def _search_subpatch(g1: jnp.ndarray, g2: jnp.ndarray, radius: int,
-                     patch: int):
+                     patch: int, budget_div: int = 1):
     """DeepMatching-style split-and-rescore coarse search.
 
     Rigid patch NCC collapses once the deformation WITHIN a patch reaches a
@@ -230,9 +230,13 @@ def _search_subpatch(g1: jnp.ndarray, g2: jnp.ndarray, radius: int,
     H, W = g1.shape
     side = 2 * radius + 1
     n_off = side * side
-    if n_off * H * W > _SEARCH_VEC_BUDGET:
+    # budget_div: vmapped hypothesis lanes materialise their child stacks
+    # CONCURRENTLY — each lane only gets 1/K of the vectorization budget
+    # (same rule as _search's budget_div; OOM otherwise)
+    if n_off * H * W > _SEARCH_VEC_BUDGET // max(1, budget_div):
         zz = _zscore(jnp.stack([g1, g2]), patch)
-        return _search(zz[0], zz[1], radius, patch)
+        return _search(zz[0], zz[1], radius, patch,
+                       budget_div=budget_div)
     zz = _zscore(jnp.stack([g1, g2]), kc)
     z1, z2 = zz[0], zz[1]
     z2p = jnp.pad(z2, radius)
@@ -328,9 +332,20 @@ def _pyramid_flow_impl(
     pyr2 = [p[1] for p in pyr]
 
     coarse_r = max(2, int(np.ceil(radius / (2 ** levels))))
-    if not _use_pallas_search() and not subpatch:
-        z1 = _zscore(pyr1[-1], patch)
     Hc, Wc = pyr1[-1].shape
+    # Pallas search only where its planes fit the Mosaic VMEM budget;
+    # oversized (plane, radius) combinations take the XLA search instead of
+    # dying with a Mosaic compile error (shapes are static at trace time)
+    use_pallas = _use_pallas_search()
+    if use_pallas:
+        from .pallas_match import fits_vmem as _match_fits
+
+        use_pallas_coarse = not subpatch and _match_fits(
+            Hc, Wc, coarse_r, patch)
+    else:
+        use_pallas_coarse = False
+    if not use_pallas_coarse and not subpatch:
+        z1 = _zscore(pyr1[-1], patch)
     ccy, ccx = (Hc - 1) / 2.0, (Wc - 1) / 2.0
     gxc, gyc = _grid(Hc, Wc)
 
@@ -371,9 +386,10 @@ def _pyramid_flow_impl(
         # max-pools over OFFSET space) — XLA form even on TPU; coarse levels
         # are small and this mode is the hard-deformation opt-in
         du, dv, sc = jax.vmap(
-            lambda g: _search_subpatch(pyr1[-1], g, coarse_r, patch)
+            lambda g: _search_subpatch(pyr1[-1], g, coarse_r, patch,
+                                       budget_div=len(Ms))
         )(g2r)
-    elif _use_pallas_search():
+    elif use_pallas_coarse:
         # fused z-score+search kernel: never materialises the
         # (n_off, Hc, Wc) stack; hypotheses batch through the grid axis
         from .pallas_match import zncc_search
@@ -431,9 +447,15 @@ def _pyramid_flow_impl(
         # re-warps at the improved estimate and recovers another
         # ±refine_radius — cheap (the search window is tiny) and measurably
         # tightens large-warp matching
+        if use_pallas:
+            from .pallas_match import fits_vmem as _match_fits
+
+            use_pallas_refine = _match_fits(H, W, refine_radius, patch)
+        else:
+            use_pallas_refine = False
         for _ in range(refine_passes):
             w2 = _bilinear(pyr2[lvl], gx + uv[0], gy + uv[1])
-            if _use_pallas_search():
+            if use_pallas_refine:
                 from .pallas_match import zncc_search
 
                 du, dv, score = zncc_search(pyr1[lvl], w2, refine_radius,

@@ -271,6 +271,10 @@ def pcg_pallas(
             pltpu.VMEM((4, H, W), jnp.float32),
             pltpu.VMEM((4, H, W), jnp.float32),
         ],
+        # b is read once at init (r0 = b, stored to r scratch) and delta is
+        # written strictly after — aliasing drops 3 resident planes, same
+        # argument as the batched kernel below
+        input_output_aliases={0: 0},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -395,8 +399,11 @@ def pcg_pallas_tall(b, pre, s, c, vmasks, fitmask, wf2, wr2, iters,
     return out.reshape(3, H, W)
 
 
-# resident planes: 13 input + 3 output + 18 scratch + live temporaries
-_PLANES = 31
+# resident plane-equivalents per problem: 13 input + 18 scratch + 3 output
+# aliased onto b (= 31 persistent) + ~5 live temporaries of the factored
+# body — the same 36/problem calibration as the batched kernel
+# (solver._BATCH_KERNEL_PLANES)
+_PLANES = 36
 # Empirically v5e VMEM accommodates ≫ the 16 MB scoped-vmem compiler default:
 # full-frame 480×896 (~50 MB resident) compiles and runs 1.4× faster than the
 # XLA path (scripts/pallas_check.py probe). Budget kept below that with margin.
@@ -679,7 +686,9 @@ def pcg_solve_pallas(ops, s, c, jtf, diag, iters, interpret: bool = False):
     if not fits_vmem(H, W):
         return pcg_solve(ops, s, c, jtf, diag, 10 ** 9, iters)
     pre = guarded_invert(diag)
-    kern = pcg_pallas_tall if os.environ.get("ARAP_TALL_KERNEL") else pcg_pallas
+    kern = (pcg_pallas_tall
+            if os.environ.get("ARAP_TALL_KERNEL", "") not in ("", "0", "off")
+            else pcg_pallas)
     delta = kern(
         -jtf, pre, s, c, ops.vmasks, ops.fitmask, ops.wf2, ops.wr2,
         jnp.int32(iters), interpret=interpret,

@@ -430,7 +430,8 @@ def solve_batch(ops: ArapOperands, cfg: SolverConfig):
 
         xs, flows, _ = _solve_batch_kernel_impl(
             ops, cfg.dynamic, cfg.static_key,
-            tall=bool(os.environ.get("ARAP_TALL_KERNEL")),
+            tall=os.environ.get("ARAP_TALL_KERNEL", "")
+            not in ("", "0", "off"),
         )
         return xs, flows
     xs, flows, _ = _solve_batch_impl(ops, cfg.dynamic, cfg.static_key)

@@ -330,11 +330,15 @@ class BatchRunner:
                         flow = np.asarray(flows)
                         wrgb = np.asarray(wrgbs)
                         wmask = np.asarray(wmasks)
-                    self.out[group] = DeformResult(
-                        flow=flow.transpose(1, 2, 0),
-                        warped_rgb=wrgb.transpose(1, 2, 0).astype(np.uint8),
-                        warped_mask=wmask.astype(np.uint8),
-                    )
+
+                    def _assemble(key=group, fl=flow, rg=wrgb, mk=wmask):
+                        self.out[key] = DeformResult(
+                            flow=fl.transpose(1, 2, 0),
+                            warped_rgb=rg.transpose(1, 2, 0).astype(np.uint8),
+                            warped_mask=mk.astype(np.uint8),
+                        )
+
+                    futs.append(ex.submit(_assemble))
                     continue
                 with self.timer.stage("D2H fetch"):
                     f_np = np.asarray(flows)

@@ -28,7 +28,7 @@ def time_batched(H, W, B, cfg):
     import jax
     import jax.numpy as jnp
 
-    tall = bool(os.environ.get("ARAP_TALL_KERNEL"))
+    tall = os.environ.get("ARAP_TALL_KERNEL", "") not in ("", "0", "off")
     probs = [bucket_problem(H, W, seed=s) for s in range(B)]
     batched = jax.tree.map(lambda *ls: jnp.stack(ls), *probs)
     t0 = time.time()
