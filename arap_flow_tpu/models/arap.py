@@ -81,19 +81,12 @@ def _mask_shape(ops):
 
 def _solve_and_raster(ops, rgb_f, cfg: SolverConfig):
     cfg = cfg.resolve()
-    if cfg.backend == "fused":
-        from ..ops.pallas_solver import fits_vmem
+    from ..ops.solver import fused_eligible
 
-        H, W = _mask_shape(ops)
-        # mirrors solver._use_fused: the fused kernel runs a UNIFORM PCG
-        # budget, so tolerance exits and non-uniform early/late schedules
-        # must route to the backends that honor them
-        if (float(cfg.q_tolerance) == 0.0 and float(cfg.rz_tolerance) == 0.0
-                and not (float(cfg.pcg_iters_early) > 0.0
-                         and float(cfg.anneal_split) > 0.0)
-                and fits_vmem(H, W)):
-            return _fused_solve_raster_impl(ops, rgb_f, cfg.dynamic,
-                                            cfg.static_key)
+    H, W = _mask_shape(ops)
+    if fused_eligible(H, W, cfg):
+        return _fused_solve_raster_impl(ops, rgb_f, cfg.dynamic,
+                                        cfg.static_key)
     return _solve_and_raster_impl(ops, rgb_f, cfg.dynamic, cfg.static_key)
 
 

@@ -302,6 +302,7 @@ def _pyramid_flow_impl(
     rotations: tuple = (0.0,),
     refine_passes: int = 1,
     subpatch: bool = False,
+    lanes: int = 1,
 ):
     """Dense coarse-to-fine NCC flow estimate (trace-level implementation).
 
@@ -322,6 +323,12 @@ def _pyramid_flow_impl(
     rescore (`_search_subpatch`) instead of rigid patch NCC — tolerant to
     spatially-varying deformation WITHIN a patch, beyond what the (global)
     affine hypotheses cover. Composes with `rotations`.
+
+    `lanes`: number of OUTER concurrent vmap lanes this trace runs under
+    (bidirectional = 2, multi-pair = 2·B). The coarse XLA search's
+    vectorization budget divides by lanes × hypothesis count — every lane
+    materialises its own (n_off, Hc, Wc) stack concurrently, so dividing by
+    the hypothesis count alone under-bounds memory by the lane factor.
     """
     # both pyramids in one batched op-set (this platform charges ~1 ms per
     # executed HLO op — see CLAUDE.md; stacking halves the op count)
@@ -387,7 +394,7 @@ def _pyramid_flow_impl(
         # are small and this mode is the hard-deformation opt-in
         du, dv, sc = jax.vmap(
             lambda g: _search_subpatch(pyr1[-1], g, coarse_r, patch,
-                                       budget_div=len(Ms))
+                                       budget_div=len(Ms) * max(1, lanes))
         )(g2r)
     elif use_pallas_coarse:
         # fused z-score+search kernel: never materialises the
@@ -403,7 +410,8 @@ def _pyramid_flow_impl(
         # under vmap — divide its budget by K or large banks OOM on frames
         # whose level clamp leaves a big coarse level
         du, dv, sc = jax.vmap(
-            lambda z: _search(z1, z, coarse_r, patch, budget_div=len(hyps))
+            lambda z: _search(z1, z, coarse_r, patch,
+                              budget_div=len(hyps) * max(1, lanes))
         )(z2)
     # fold each hypothesis back into image-2 coordinates:
     # t(p) = M((p + d) − c) + c (identity reduces to p + d exactly)
@@ -494,7 +502,7 @@ def pyramid_flow_bidir(g1, g2, radius: int = 100, patch: int = 12,
     return jax.vmap(
         lambda x, y: _pyramid_flow_impl(x, y, radius, patch, levels,
                                         refine_radius, rotations,
-                                        refine_passes, subpatch)
+                                        refine_passes, subpatch, lanes=2)
     )(a, b)
 
 
@@ -539,7 +547,7 @@ def _device_grid_select(fwd, bwd, score, stride: int):
 
 def _match_grid_impl(rgb1, rgb2, stride, radius, patch, levels,
                      refine_radius, rotations, refine_passes, downscale,
-                     subpatch=False):
+                     subpatch=False, lanes=2):
     g1, g2 = to_gray(rgb1.astype(jnp.float32)), to_gray(rgb2.astype(jnp.float32))
     a = jnp.stack([g1, g2])
     b = jnp.stack([g2, g1])
@@ -551,7 +559,7 @@ def _match_grid_impl(rgb1, rgb2, stride, radius, patch, levels,
     flows, scores = jax.vmap(
         lambda x, y: _pyramid_flow_impl(x, y, radius, patch, levels,
                                         refine_radius, rotations,
-                                        refine_passes, subpatch)
+                                        refine_passes, subpatch, lanes=lanes)
     )(a, b)
     return _device_grid_select(flows[0], flows[1], scores[0], stride)
 
@@ -597,10 +605,12 @@ def match_grid_multi(rgb1s, rgb2s, stride: int = 4, radius: int = 100,
     (854×480). NOTE: before the kernels this was memory-bound and LOSING
     (1.01 vs 0.59 s/pair — the old vmapped search materialised per-pair
     offset stacks); the Pallas path never materialises them."""
+    n_pairs = int(rgb1s.shape[0])  # static at trace time
     return jax.vmap(
         lambda a, b: _match_grid_impl(a, b, stride, radius, patch, levels,
                                       refine_radius, rotations,
-                                      refine_passes, downscale, subpatch)
+                                      refine_passes, downscale, subpatch,
+                                      lanes=2 * n_pairs)
     )(rgb1s, rgb2s)
 
 

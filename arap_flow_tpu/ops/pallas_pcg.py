@@ -27,6 +27,7 @@ inside that envelope.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -38,6 +39,14 @@ from .stencil import DIRS
 
 # PCG loop unroll factor (trace-time; probe knob — 1 measured best so far)
 _UNROLL = 1
+
+
+def tall_kernel_enabled() -> bool:
+    """ARAP_TALL_KERNEL env flag (opt-in stacked-plane kernel variant,
+    measured slower — see docs/ROADMAP.md). Single parse shared by the
+    per-GN path, the batched solver, and scripts/kernel_bench.py so the
+    two kernel routes can never desynchronize within one process."""
+    return os.environ.get("ARAP_TALL_KERNEL", "") not in ("", "0", "off")
 
 
 def _roll2(a: jnp.ndarray, dy: int, dx: int) -> jnp.ndarray:
@@ -678,17 +687,13 @@ def pcg_solve_pallas(ops, s, c, jtf, diag, iters, interpret: bool = False):
 
     ARAP_TALL_KERNEL=1 (set before first trace in the process) routes through
     the stacked-plane layout kernel — a perf probe; identical math (tested)."""
-    import os
-
     from .solver import guarded_invert, pcg_solve
 
     H, W = s.shape
     if not fits_vmem(H, W):
         return pcg_solve(ops, s, c, jtf, diag, 10 ** 9, iters)
     pre = guarded_invert(diag)
-    kern = (pcg_pallas_tall
-            if os.environ.get("ARAP_TALL_KERNEL", "") not in ("", "0", "off")
-            else pcg_pallas)
+    kern = pcg_pallas_tall if tall_kernel_enabled() else pcg_pallas
     delta = kern(
         -jtf, pre, s, c, ops.vmasks, ops.fitmask, ops.wf2, ops.wr2,
         jnp.int32(iters), interpret=interpret,

@@ -276,10 +276,12 @@ def _flow_jit(x, grid):
     return x[:2] - grid
 
 
-def _use_fused(ops, cfg: SolverConfig) -> bool:
-    """Whole-solve fused kernel (backend='fused', explicit opt-in): measured
-    on-par with the per-GN resident kernel (0.55s vs 0.53s at 256×448), so the
-    default 'pallas' keeps the per-GN path with its faster compiles."""
+def fused_eligible(H: int, W: int, cfg: SolverConfig) -> bool:
+    """Single source of truth for routing a solve to the whole-solve fused
+    kernel (backend='fused', explicit opt-in — measured on-par with the
+    per-GN resident kernel, 0.55s vs 0.53s at 256×448, so the default
+    'pallas' keeps the per-GN path with its faster compiles). Shared by
+    solve()/solve_stats() here and models.arap._solve_and_raster."""
     if cfg.backend != "fused":
         return False
     if float(cfg.q_tolerance) != 0.0 or float(cfg.rz_tolerance) != 0.0:
@@ -291,8 +293,12 @@ def _use_fused(ops, cfg: SolverConfig) -> bool:
         return False
     from .pallas_solver import fits_vmem
 
-    H, W = ops.mask.shape[-2:]
     return fits_vmem(H, W)
+
+
+def _use_fused(ops, cfg: SolverConfig) -> bool:
+    H, W = ops.mask.shape[-2:]
+    return fused_eligible(H, W, cfg)
 
 
 def _resolve_for(ops, cfg: SolverConfig) -> SolverConfig:
@@ -426,12 +432,10 @@ def solve_batch(ops: ArapOperands, cfg: SolverConfig):
         and float(cfg.rz_tolerance) == 0.0
         and _batch_kernel_fits(ops)
     ):
-        import os
+        from .pallas_pcg import tall_kernel_enabled
 
         xs, flows, _ = _solve_batch_kernel_impl(
-            ops, cfg.dynamic, cfg.static_key,
-            tall=os.environ.get("ARAP_TALL_KERNEL", "")
-            not in ("", "0", "off"),
+            ops, cfg.dynamic, cfg.static_key, tall=tall_kernel_enabled(),
         )
         return xs, flows
     xs, flows, _ = _solve_batch_impl(ops, cfg.dynamic, cfg.static_key)

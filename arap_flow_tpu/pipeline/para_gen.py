@@ -293,7 +293,11 @@ def _png_bytes(arr: np.ndarray) -> bytes:
     import io as _io
 
     buf = _io.BytesIO()
-    Image.fromarray(np.asarray(arr, np.uint8)).save(buf, format="PNG")
+    # compress_level=1 matches io.image.save_image: ~4× faster encode than
+    # PIL's default 6, and this encode runs BEFORE writer.submit_bytes (it
+    # is not hidden by the async writer threads)
+    Image.fromarray(np.asarray(arr, np.uint8)).save(
+        buf, format="PNG", compress_level=1)
     return buf.getvalue()
 
 

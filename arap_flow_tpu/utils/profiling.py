@@ -12,6 +12,7 @@ Reference counterparts:
 from __future__ import annotations
 
 import contextlib
+import threading
 import time
 from collections import defaultdict
 
@@ -19,11 +20,17 @@ import numpy as np
 
 
 class StageTimer:
-    """Accumulating wall-clock stage timer with grouped reporting."""
+    """Accumulating wall-clock stage timer with grouped reporting.
+
+    Thread-safe accumulation: the batched pipeline runs stages concurrently
+    from the main thread and worker threads (prep prefetch, collect-side
+    paste workers), so the read-modify-write on the shared dicts takes a
+    lock — without it a preemption between read and `+=` drops samples."""
 
     def __init__(self):
         self.totals = defaultdict(float)
         self.counts = defaultdict(int)
+        self._lock = threading.Lock()
 
     @contextlib.contextmanager
     def stage(self, name: str):
@@ -31,8 +38,10 @@ class StageTimer:
         try:
             yield
         finally:
-            self.totals[name] += time.time() - t0
-            self.counts[name] += 1
+            dt = time.time() - t0
+            with self._lock:
+                self.totals[name] += dt
+                self.counts[name] += 1
 
     def report(self) -> str:
         lines = ["stage                      total_s   calls   mean_ms"]

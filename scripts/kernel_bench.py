@@ -2,7 +2,7 @@
 cat512 golden EPE with the pallas backend. Focused successor of pallas_check
 for kernel iteration work.
 
-    python scripts/kernel_bench.py [B HxW ...]
+    python scripts/kernel_bench.py [B:HxW ...]      # e.g. 8:256x384
 """
 
 import pathlib
@@ -23,12 +23,12 @@ from pallas_check import bucket_problem, run
 
 
 def time_batched(H, W, B, cfg):
-    import os
-
     import jax
     import jax.numpy as jnp
 
-    tall = os.environ.get("ARAP_TALL_KERNEL", "") not in ("", "0", "off")
+    from arap_flow_tpu.ops.pallas_pcg import tall_kernel_enabled
+
+    tall = tall_kernel_enabled()
     probs = [bucket_problem(H, W, seed=s) for s in range(B)]
     batched = jax.tree.map(lambda *ls: jnp.stack(ls), *probs)
     t0 = time.time()
