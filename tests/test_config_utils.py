@@ -38,6 +38,29 @@ def test_stage_timer_report():
     assert t.counts["a"] == 2
 
 
+def test_stage_timer_concurrent_accumulation():
+    """The batched pipeline times stages from the main thread AND worker
+    threads (prep prefetch, collect-side paste) on one shared timer; the
+    read-modify-write must not drop samples under preemption."""
+    import threading
+
+    t = StageTimer()
+    n_threads, n_iters = 8, 400
+
+    def work():
+        for _ in range(n_iters):
+            with t.stage("shared"):
+                pass
+
+    threads = [threading.Thread(target=work) for _ in range(n_threads)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert t.counts["shared"] == n_threads * n_iters
+    assert t.totals["shared"] >= 0.0
+
+
 def test_solver_iteration_csv(tmp_path):
     p = tmp_path / "iters.csv"
     save_solver_iterations(p, np.array([3.0, 1.5, 0.2]), [1.1, 2.2, 3.3])
