@@ -49,6 +49,11 @@ class _Plan:
     ops: E.ArapOperands | None = None
     n_iter_done: int = 0
     cost: float = float("nan")
+    # LMGPU per-solve state: (ssq, radius, decrease_factor, prev_cost).
+    # ssq is captured once per solve (PCGSaveSSq at nIter == 0,
+    # solverGPUGaussNewton.t:1043-1045); the trust region persists across
+    # ProblemStep calls, matching the step() loop in OptSolver.h:72-91.
+    lm_state: tuple | None = None
 
 
 def Opt_NewState(verbosity: int = 0) -> OptState:
@@ -123,11 +128,15 @@ def _bind(plan: _Plan, problem_params: list) -> None:
 def Opt_ProblemInit(state: OptState, plan: _Plan, problem_params: list) -> None:
     _bind(plan, problem_params)
     plan.n_iter_done = 0
+    plan.lm_state = None
 
 
 def Opt_ProblemStep(state: OptState, plan: _Plan, problem_params: list) -> int:
     """One nonlinear iteration; returns nonzero while iterations remain
-    (Opt.h / o.t:2548-2551 loop contract)."""
+    (Opt.h / o.t:2548-2551 loop contract). Routes on the solver kind the
+    problem was defined with: 'gaussNewtonGPU' runs one GN iteration,
+    'LMGPU' one trust-region LM iteration (CombinedSolverBase.h:74-81
+    registers both behind the identical C-API lifecycle)."""
     import jax.numpy as jnp
 
     if plan.state is None:
@@ -136,17 +145,38 @@ def Opt_ProblemStep(state: OptState, plan: _Plan, problem_params: list) -> int:
     if plan.n_iter_done >= n:
         return 0
     l_iters = float(plan.solver_params.get("lIterations", 10))
-    cfg = S.SolverConfig(
-        num_anneal=1, gn_iters=1, max_pcg_iters=max(int(l_iters), 1),
-        pcg_iters=l_iters,
-    )
     x = jnp.asarray(plan.state)
     cimg = plan.ops.con_tgt
-    x, _ = S.gn_step(x, plan.ops, cimg, cfg, jnp.float32(l_iters),
-                     jnp.float32(0.0), jnp.float32(0.0))
-    plan.state = np.asarray(x)
-    plan.cost = float(E.cost(x, plan.ops, cimg))
-    plan.n_iter_done += 1
+    if plan.problem.name == "LMGPU":
+        from ..ops import lm as L
+
+        cfg = L.LMConfig(pcg_iters=max(int(l_iters), 1))
+        if plan.lm_state is None:
+            _, ssq = E.jtf_and_diag(x, plan.ops, cimg)
+            plan.lm_state = (ssq, jnp.float32(cfg.init_radius),
+                             jnp.float32(2.0),
+                             jnp.float32(E.cost(x, plan.ops, cimg)))
+        ssq, radius, dec, prev_cost = plan.lm_state
+        x, radius, dec, cst, done = L.lm_step(
+            x, plan.ops, cimg, ssq, radius, dec, prev_cost, cfg
+        )
+        plan.state = np.asarray(x)
+        plan.cost = float(cst)
+        plan.lm_state = (ssq, radius, dec, cst)
+        plan.n_iter_done += 1
+        if bool(done):  # function_tolerance / min-radius termination
+            plan.n_iter_done = n
+            return 0
+    else:
+        cfg = S.SolverConfig(
+            num_anneal=1, gn_iters=1, max_pcg_iters=max(int(l_iters), 1),
+            pcg_iters=l_iters,
+        )
+        x, _ = S.gn_step(x, plan.ops, cimg, cfg, jnp.float32(l_iters),
+                         jnp.float32(0.0), jnp.float32(0.0))
+        plan.state = np.asarray(x)
+        plan.cost = float(E.cost(x, plan.ops, cimg))
+        plan.n_iter_done += 1
     return 1 if plan.n_iter_done < n else 0
 
 

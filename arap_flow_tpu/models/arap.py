@@ -219,13 +219,21 @@ class ArapDeformer:
         keep_state: bool = False,
         crop: bool = False,
         crop_buckets: tuple = CROP_BUCKETS,
+        raster: str = "device",
     ):
+        """`raster`: "device" (windowed splat kernel, ≥99.87% mask agreement,
+        runs inside the solve program) or "host" (the reference-exact CPU
+        quad rasterizer, native/host_raster.py ≡ warping/main.cpp:110-225 —
+        the parity-first switch, selectable via ARAP_RASTER=host through
+        utils.config.FrameworkConfig)."""
         self.cfg = cfg
         self.weights = weights
         self.pin_border = pin_border
         self.keep_state = keep_state
         self.crop = crop
         self.crop_buckets = crop_buckets
+        assert raster in ("device", "host"), raster
+        self.raster = raster
 
     def deform(
         self,
@@ -242,17 +250,39 @@ class ArapDeformer:
             cons = add_border_pins(cons, W, H)
 
         if self.crop:
-            return self._deform_cropped(rgb, arap_mask, cons)
+            res = self._deform_cropped(rgb, arap_mask, cons)
+            if self.raster == "host":
+                res = self._host_raster(res, rgb, arap_mask)
+            return res
 
         ops = E.build_compact(np.asarray(arap_mask), cons, self.weights)
         rgb_u8 = jnp.asarray(np.ascontiguousarray(rgb.transpose(2, 0, 1)))
         x, flow, wrgb, wmask = _solve_and_raster(ops, rgb_u8, self.cfg)
-        return DeformResult(
+        res = DeformResult(
             flow=np.asarray(flow).transpose(1, 2, 0),
             warped_rgb=np.asarray(wrgb).transpose(1, 2, 0).astype(np.uint8),
             warped_mask=np.asarray(wmask).astype(np.uint8),
             state=np.asarray(x) if self.keep_state else None,
         )
+        if self.raster == "host":
+            res = self._host_raster(res, rgb, arap_mask)
+        return res
+
+    @staticmethod
+    def _host_raster(res: DeformResult, rgb, arap_mask) -> DeformResult:
+        """Replace the device-raster products with the reference-exact host
+        rasterization of the solved flow (warpField = flow + grid,
+        warping/main.cpp:159-166; pixel-for-pixel parity validated in
+        tests/test_native.py / tests/test_rasterize.py)."""
+        from ..native.host_raster import warp_from_flow
+        from ..native.runtime import rasterize_warp
+
+        warp = warp_from_flow(res.flow)
+        wrgb, wmask = rasterize_warp(
+            warp, np.asarray(rgb, np.uint8), np.asarray(arap_mask)
+        )
+        return DeformResult(flow=res.flow, warped_rgb=wrgb, warped_mask=wmask,
+                            state=res.state)
 
     def _deform_cropped(self, rgb, arap_mask, cons) -> DeformResult:
         """Solve on the object's TIGHT bucket and rasterize on the padded

@@ -133,6 +133,56 @@ def _pcg_damped(ops, s, c, jtf, ctc, pre, cfg: LMConfig):
     return st[1]
 
 
+def _lm_step_impl(x, ops, cimg, ssq, radius, dec, prev_cost, cfg: LMConfig):
+    """One LM outer (trust-region) iteration at fixed constraints — the
+    step() granularity of solverGPUGaussNewton.t:1016-1177. Returns
+    (x, radius, dec, cost, done)."""
+    s, c = trig(x)
+    g, diag = jtf_and_diag(x, ops, cimg)
+    ctc, pre = _finalize_diagonal(diag, ssq, radius, cfg)
+    delta = _pcg_damped(ops, s, c, g, ctc, pre, cfg)
+    # model cost change vs the UNDAMPED linearized model (o.t:2174-2202):
+    # prevCost − ½Σ(F+Jδ)² = −(δ·JtF + ½ δ·JtJδ)
+    model_change = -(_dot(delta, g)
+                     + 0.5 * _dot(delta, apply_jtj(delta, ops, s, c)))
+    x_new = x + delta
+    new_cost = cost(x_new, ops, cimg)
+    cost_change = prev_cost - new_cost
+    rho = cost_change / jnp.where(model_change == 0.0, 1.0, model_change)
+    accept = jnp.logical_and(cost_change >= 0.0,
+                             rho > cfg.min_relative_decrease)
+
+    # CERES radius update (solverGPUGaussNewton.t:1119-1163)
+    tmp = 1.0 - (2.0 * rho - 1.0) ** 3
+    radius_acc = jnp.minimum(
+        radius / jnp.maximum(1.0 / 3.0, tmp), cfg.max_radius
+    )
+    radius_rej = radius / dec
+    radius_new = jnp.where(accept, radius_acc, radius_rej)
+    dec_new = jnp.where(accept, 2.0, 2.0 * dec)
+
+    x_next = jnp.where(accept, x_new, x)
+    cost_next = jnp.where(accept, new_cost, prev_cost)
+    done = jnp.logical_or(
+        jnp.logical_and(
+            accept, cost_change <= prev_cost * cfg.function_tolerance
+        ),
+        radius_new <= cfg.min_radius,
+    )
+    return x_next, radius_new, dec_new, cost_next, done
+
+
+@partial(jax.jit, static_argnames=("cfg",))
+def lm_step(x, ops, cimg, ssq, radius, dec, prev_cost,
+            cfg: LMConfig = LMConfig()):
+    """Jitted single LM outer iteration — the Opt_ProblemStep granularity for
+    the "LMGPU" solver (OptSolver.h:72-91 steps one nonlinear iteration per
+    call; each is one trust-region accept/reject). The caller threads
+    (radius, dec, prev_cost) between steps and captures ssq = diag(JtJ) once
+    per solve (PCGSaveSSq, solverGPUGaussNewton.t:1043-1045)."""
+    return _lm_step_impl(x, ops, cimg, ssq, radius, dec, prev_cost, cfg)
+
+
 def _lm_inner(x0, ops, cimg, cfg: LMConfig):
     """max_outer LM iterations at fixed constraints (one Opt LM solve).
 
@@ -147,38 +197,8 @@ def _lm_inner(x0, ops, cimg, cfg: LMConfig):
 
     def body(st):
         it, x, radius, dec, prev_cost, _ = st
-        s, c = trig(x)
-        g, diag = jtf_and_diag(x, ops, cimg)
-        ctc, pre = _finalize_diagonal(diag, ssq, radius, cfg)
-        delta = _pcg_damped(ops, s, c, g, ctc, pre, cfg)
-        # model cost change vs the UNDAMPED linearized model (o.t:2174-2202):
-        # prevCost − ½Σ(F+Jδ)² = −(δ·JtF + ½ δ·JtJδ)
-        model_change = -(_dot(delta, g)
-                         + 0.5 * _dot(delta, apply_jtj(delta, ops, s, c)))
-        x_new = x + delta
-        new_cost = cost(x_new, ops, cimg)
-        cost_change = prev_cost - new_cost
-        rho = cost_change / jnp.where(model_change == 0.0, 1.0, model_change)
-        accept = jnp.logical_and(cost_change >= 0.0,
-                                 rho > cfg.min_relative_decrease)
-
-        # CERES radius update (solverGPUGaussNewton.t:1119-1163)
-        step_q = rho
-        tmp = 1.0 - (2.0 * step_q - 1.0) ** 3
-        radius_acc = jnp.minimum(
-            radius / jnp.maximum(1.0 / 3.0, tmp), cfg.max_radius
-        )
-        radius_rej = radius / dec
-        radius_new = jnp.where(accept, radius_acc, radius_rej)
-        dec_new = jnp.where(accept, 2.0, 2.0 * dec)
-
-        x_next = jnp.where(accept, x_new, x)
-        cost_next = jnp.where(accept, new_cost, prev_cost)
-        done = jnp.logical_or(
-            jnp.logical_and(
-                accept, cost_change <= prev_cost * cfg.function_tolerance
-            ),
-            radius_new <= cfg.min_radius,
+        x_next, radius_new, dec_new, cost_next, done = _lm_step_impl(
+            x, ops, cimg, ssq, radius, dec, prev_cost, cfg
         )
         return it + 1.0, x_next, radius_new, dec_new, cost_next, done
 

@@ -49,18 +49,26 @@ def parse_list_file(path) -> list[FramePaths]:
 
 
 def deform_frames(frames: list[FramePaths], cfg: SolverConfig,
-                  batch: bool = True) -> None:
+                  batch: bool = True, fw=None) -> None:
     """Deform a list of frames, writing .flo + warped RGB/mask per frame.
 
     Where the reference's list mode merely reuses one compiled plan across
     same-size frames (CombinedSolver.h:149-160), here same-shape frames are
     additionally solved as ONE batched device program (one dispatch and one
     D2H round-trip per chunk instead of per frame). Ragged shapes fall back
-    to per-frame solves, which still share jit programs per shape."""
-    if batch and len(frames) > 1:
-        if _deform_frames_batched(frames, cfg):
+    to per-frame solves, which still share jit programs per shape.
+
+    `fw`: utils.config.FrameworkConfig carrying the energy weights and the
+    rasterizer choice; ARAP_RASTER=host selects the reference-exact host
+    rasterizer, which runs the per-frame path (the batched program rasterizes
+    on device)."""
+    from ..utils.config import FrameworkConfig
+
+    fw = fw or FrameworkConfig()
+    if batch and len(frames) > 1 and fw.raster != "host":
+        if _deform_frames_batched(frames, cfg, fw):
             return
-    deformer = ArapDeformer(cfg)
+    deformer = ArapDeformer(cfg, weights=fw.weights, raster=fw.raster)
     for fr in frames:
         rgb = load_rgb(fr.rgb)
         mask = load_mask(fr.mask)
@@ -76,10 +84,14 @@ def _write_result(fr: FramePaths, res) -> None:
     print("Saved")
 
 
-def _deform_frames_batched(frames: list[FramePaths], cfg: SolverConfig) -> bool:
+def _deform_frames_batched(frames: list[FramePaths], cfg: SolverConfig,
+                           fw=None) -> bool:
     """Batched full-frame path: group frames by shape, solve each group with
     solve_and_raster_batch in VMEM-bounded chunks. Returns False if nothing
     batches (caller runs the serial path)."""
+    from ..utils.config import FrameworkConfig
+
+    fw = fw or FrameworkConfig()
     import numpy as np
 
     import jax
@@ -103,7 +115,7 @@ def _deform_frames_batched(frames: list[FramePaths], cfg: SolverConfig) -> bool:
     if all(len(idx) < 2 for idx in groups.values()):
         return False
 
-    deformer = ArapDeformer(cfg)
+    deformer = ArapDeformer(cfg, weights=fw.weights)
 
     def _serial(i):
         fr = frames[i]
@@ -134,7 +146,7 @@ def _deform_frames_batched(frames: list[FramePaths], cfg: SolverConfig) -> bool:
                         np.asarray(
                             read_constraint_file(fr.cstr), np.int32
                         ).reshape(-1, 4), W, H)
-                    ops.append(E.build_compact(mask, cons))
+                    ops.append(E.build_compact(mask, cons, fw.weights))
                     rgbs.append(jnp.asarray(
                         np.ascontiguousarray(rgb.transpose(2, 0, 1))))
                 n_real = len(ops)
@@ -170,6 +182,16 @@ def make_config(schedule: str) -> SolverConfig:
     return SolverConfig(q_tolerance=1e-4)
 
 
+def make_framework_config(schedule: str):
+    """FrameworkConfig for this tool: CLI --schedule gives the base solver,
+    ARAP_* env vars override on top (ARAP_SCHEDULE / ARAP_BACKEND /
+    ARAP_RASTER / ARAP_W_FIT / ARAP_W_REG — the unified config per SURVEY §5;
+    env precedence mirrors $ARAP_PLAN, main.cpp:206-213)."""
+    from ..utils.config import FrameworkConfig
+
+    return FrameworkConfig.from_env(solver=make_config(schedule))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(
         description="ARAP-deform frames: constraints + mask -> flow + warped outputs."
@@ -187,7 +209,8 @@ def main(argv=None):
         p.error("expected 6 paths or a single list file")
     if not frames:
         p.error("no frames to process")
-    deform_frames(frames, make_config(a.schedule))
+    fw = make_framework_config(a.schedule)
+    deform_frames(frames, fw.solver, fw=fw)
 
 
 if __name__ == "__main__":

@@ -758,10 +758,25 @@ def make_solver_config(schedule: str) -> SolverConfig:
 def main_pipeline(
     flags: PipelineFlags, solver_cfg: SolverConfig | None = None
 ) -> list[str]:
+    # unified config (SURVEY §5): CLI flags give the base, ARAP_* env vars
+    # override on top (ARAP_SCHEDULE/ARAP_BACKEND/ARAP_RASTER/ARAP_MATCHER/
+    # ARAP_W_FIT/ARAP_W_REG), mirroring the reference's $ARAP_PLAN precedence
+    from ..utils.config import FrameworkConfig
+
+    fw = FrameworkConfig.from_env(
+        solver=solver_cfg or make_solver_config(flags.schedule),
+        matcher=flags.matcher,
+    )
+    flags.matcher = fw.matcher
+    if fw.raster == "host" and flags.mode != "simple":
+        # the exact host rasterizer runs per pair; batched chunks rasterize
+        # inside the device program
+        print("ARAP_RASTER=host: forcing --mode simple (exact per-pair raster)")
+        flags.mode = "simple"
     rng = np.random.default_rng(flags.seed)
     bgpool = BackgroundPool(flags.bg_dir, rng)
     deformer = ArapDeformer(
-        solver_cfg or make_solver_config(flags.schedule), crop=True,
+        fw.solver, weights=fw.weights, crop=fw.crop, raster=fw.raster,
     )
 
     pairs = scan_pairs(flags)

@@ -37,11 +37,21 @@ class FrameworkConfig:
 
     @classmethod
     def from_env(cls, **overrides) -> "FrameworkConfig":
+        """Construct from keyword overrides, then apply ARAP_* env overrides
+        on top (env wins — the $ARAP_PLAN precedence model, main.cpp:206-213).
+
+        Consumed by pipeline/para_gen.main_pipeline, pipeline/deform_tool and
+        models.ArapDeformer, so the env vars take effect end to end."""
         cfg = cls(**overrides)
         sched = os.environ.get("ARAP_SCHEDULE")
         if sched == "fast":
             cfg.solver = cfg.solver._replace(
                 pcg_iters_early=150.0, anneal_split=12.0
+            )
+        elif sched == "parity":
+            cfg.solver = cfg.solver._replace(
+                pcg_iters_early=0.0, anneal_split=0.0, q_tolerance=0.0,
+                rz_tolerance=0.0,
             )
         backend = os.environ.get("ARAP_BACKEND")
         if backend in ("xla", "pallas"):

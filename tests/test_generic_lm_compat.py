@@ -80,6 +80,84 @@ def test_lm_converges_like_gn():
     assert d.mean() < 0.15, d.mean()
 
 
+def _opt_lifecycle_params(H, W):
+    gx, gy = np.meshgrid(np.arange(W, dtype=np.float32),
+                         np.arange(H, dtype=np.float32))
+    offset = np.stack([gx, gy], -1).copy()
+    angle = np.zeros((H, W), np.float32)
+    urshape = offset.copy()
+    constraints = np.full((H, W, 2), -1.0, np.float32)
+    constraints[5, 7] = (9.0, 6.0)  # pull pixel (7,5) to (9,6)
+    for x in range(W):
+        constraints[0, x] = (x, 0)
+        constraints[H - 1, x] = (x, H - 1)
+    for y in range(H):
+        constraints[y, 0] = (0, y)
+        constraints[y, W - 1] = (W - 1, y)
+    mask = np.zeros((H, W), np.float32)
+    return [offset, angle, urshape, constraints, mask,
+            np.float32(10.0), np.float32(0.1)]
+
+
+def _run_lifecycle(solver_kind, H=12, W=16, n_iter=4, l_iter=60):
+    """Drive the Opt.h step loop with the given solver kind; returns
+    (offset, angle, per-step cost list)."""
+    from arap_flow_tpu import compat as opt
+
+    state = opt.Opt_NewState()
+    prob = opt.Opt_ProblemDefine(state, "arap_plan.t", solver_kind)
+    plan = opt.Opt_ProblemPlan(state, prob, (W, H))
+    opt.Opt_SetSolverParameter(state, plan, "nIterations", n_iter)
+    opt.Opt_SetSolverParameter(state, plan, "lIterations", l_iter)
+    params = _opt_lifecycle_params(H, W)
+    opt.Opt_ProblemInit(state, plan, params)
+    costs = []
+    while True:
+        more = opt.Opt_ProblemStep(state, plan, params)
+        costs.append(opt.Opt_ProblemCurrentCost(state, plan))
+        if not more:
+            break
+    result = np.asarray(plan.state)
+    opt.Opt_PlanFree(state, plan)
+    opt.Opt_ProblemDelete(state, prob)
+    return result, costs
+
+
+def test_opt_api_lm_routes_to_lm_solver():
+    """'LMGPU' through the facade must run the trust-region solver, not GN:
+    the step-cost trajectories differ, and the LM lifecycle reproduces
+    ops.lm._lm_inner exactly on the same problem
+    (CombinedSolverBase.h:74-81 / OptSolver.h:72-91 semantics)."""
+    from arap_flow_tpu.ops.lm import _lm_inner
+
+    H, W, n_iter, l_iter = 12, 16, 4, 60
+    x_gn, costs_gn = _run_lifecycle("gaussNewtonGPU", H, W, n_iter, l_iter)
+    x_lm, costs_lm = _run_lifecycle("LMGPU", H, W, n_iter, l_iter)
+    # different solvers → different trajectories (LM damps the first steps)
+    assert not np.allclose(costs_gn[: len(costs_lm)], costs_lm), (
+        costs_gn, costs_lm)
+    assert all(np.isfinite(c) for c in costs_lm)
+
+    # the facade's LM must match lm._lm_inner on identical operands
+    params = _opt_lifecycle_params(H, W)
+    cons_img = params[3]
+    arap_mask = np.zeros((H, W), np.uint8)
+    ops = E.build_operands(arap_mask, np.zeros((0, 4), np.int32),
+                           E.ArapWeights(w_fit=100.0, w_reg=0.01))
+    fit = ((cons_img[:, :, 0] >= 0) & (cons_img[:, :, 1] >= 0)).astype(
+        np.float32) * np.asarray(ops.mask)
+    ops = ops._replace(
+        con_src=jnp.asarray(cons_img.transpose(2, 0, 1)),
+        con_tgt=jnp.asarray(cons_img.transpose(2, 0, 1)),
+        fitmask=jnp.asarray(fit),
+    )
+    x0 = jnp.asarray(np.concatenate(
+        [params[0].transpose(2, 0, 1), params[1][None]], 0))
+    x_ref = _lm_inner(x0, ops, ops.con_tgt,
+                      LMConfig(max_outer=n_iter, pcg_iters=l_iter))
+    np.testing.assert_allclose(x_lm, np.asarray(x_ref), atol=1e-5)
+
+
 def test_opt_api_lifecycle():
     """Full Opt.h lifecycle drives a solve and writes the unknowns back."""
     from arap_flow_tpu import compat as opt
