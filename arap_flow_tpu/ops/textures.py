@@ -194,15 +194,63 @@ _FAMILY_FNS = {
 }
 
 
+def srgb_to_linear(c: jnp.ndarray) -> jnp.ndarray:
+    """Piecewise sRGB EOTF (texture_gen.py:142-149): Blender's HSV color picker
+    works in sRGB, so sampled colors must be linearised before shading."""
+    c = jnp.asarray(c, jnp.float32)
+    a = 0.055
+    return jnp.where(c <= 0.04045, c / 12.92, ((c + a) / (1 + a)) ** 2.4)
+
+
+def linear_to_srgb(c: jnp.ndarray) -> jnp.ndarray:
+    """Inverse of srgb_to_linear (texture_gen.py:133-140): applied to the
+    shaded linear image on output, mirroring the Cycles PNG color transform."""
+    c = jnp.asarray(c, jnp.float32)
+    a = 0.055
+    return jnp.where(
+        c <= 0.0031308, 12.92 * c, (1 + a) * jnp.maximum(c, 1e-12) ** (1 / 2.4) - a
+    )
+
+
+def hsv_to_rgb(h: jnp.ndarray, s: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """colorsys.hsv_to_rgb, vectorised; returns a (..., 3) stack."""
+    h = jnp.asarray(h, jnp.float32)
+    k = (jnp.stack([jnp.full_like(h, 5.0), jnp.full_like(h, 3.0),
+                    jnp.full_like(h, 1.0)], axis=-1) + h[..., None] * 6.0) % 6.0
+    f = jnp.clip(jnp.minimum(k, jnp.minimum(4.0 - k, 1.0)), 0.0, 1.0)
+    return jnp.asarray(v, jnp.float32)[..., None] * (
+        1.0 - jnp.asarray(s, jnp.float32)[..., None] * f
+    )
+
+
+def _random_color_linear(key) -> jnp.ndarray:
+    """random_color() (texture_gen.py:163-173): uniform hue, uniform
+    saturation, value=1, in sRGB space, then linearised for shading."""
+    kh, ks = jax.random.split(key)
+    h = jax.random.uniform(kh, ())
+    s = jax.random.uniform(ks, ())
+    return srgb_to_linear(hsv_to_rgb(h, s, jnp.float32(1.0)))
+
+
+def _lamp_color_linear(key) -> jnp.ndarray:
+    """Lamp color (texture_gen.py:99-100, :318-320): uniform hue, saturation
+    clamp(N(0.35, 0.25), 0, 1), value=1, sRGB -> linear."""
+    kh, ks = jax.random.split(key)
+    h = jax.random.uniform(kh, ())
+    s = jnp.clip(0.35 + 0.25 * jax.random.normal(ks, ()), 0.0, 1.0)
+    return srgb_to_linear(hsv_to_rgb(h, s, jnp.float32(1.0)))
+
+
 @partial(jax.jit, static_argnames=("family", "H", "W"))
 def render(key, family: str, H: int = 720, W: int = 1280) -> jnp.ndarray:
     """Render one (H, W, 3) uint8 texture image: family field -> random 2-color
-    gradient -> random point-light falloff (the Cycles lamp analogue,
-    texture_gen.py:43-56)."""
+    gradient (HSV-sampled in sRGB, shaded in linear RGB) -> random point-light
+    falloff with a random lamp color (the Cycles lamp analogue,
+    texture_gen.py:43-56, 311-320) -> linear_to_srgb output transform."""
     kf, kc1, kc2, kl = jax.random.split(key, 4)
     field = jnp.clip(_FAMILY_FNS[family](kf, H, W), 0.0, 1.0)
-    c1 = jax.random.uniform(kc1, (3,), minval=0.05, maxval=1.0)
-    c2 = jax.random.uniform(kc2, (3,), minval=0.05, maxval=1.0)
+    c1 = _random_color_linear(kc1)
+    c2 = _random_color_linear(kc2)
     rgb = field[..., None] * c1 + (1.0 - field[..., None]) * c2
     # point light: random position above the plane, inverse-square-ish falloff
     lx = jax.random.uniform(kl, (), minval=0.0, maxval=float(W))
@@ -212,11 +260,12 @@ def render(key, family: str, H: int = 720, W: int = 1280) -> jnp.ndarray:
     lz = jax.random.uniform(
         jax.random.fold_in(kl, 2), (), minval=0.4, maxval=1.2
     ) * W
+    lamp = _lamp_color_linear(jax.random.fold_in(kl, 3))
     gx, gy = _grid(H, W)
     d2 = ((gx - lx) ** 2 + (gy - ly) ** 2 + lz ** 2) / (lz ** 2)
     light = jnp.clip(1.6 / d2, 0.25, 1.6)
-    out = jnp.clip(rgb * light[..., None], 0.0, 1.0)
-    return (out * 255.0).astype(jnp.uint8)
+    out = jnp.clip(rgb * lamp * light[..., None], 0.0, 1.0)
+    return (jnp.clip(linear_to_srgb(out), 0.0, 1.0) * 255.0).astype(jnp.uint8)
 
 
 def random_texture(key, H: int = 720, W: int = 1280) -> jnp.ndarray:
