@@ -14,7 +14,7 @@ see tests/test_energy.py::test_excluded_pixels_inert).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -69,7 +69,7 @@ def _fused_solve_raster_impl(ops, rgb, dyn, static_key):
 
     ops = _expand(ops)
     cfg = S._rebuild_config(dyn, static_key)
-    x = anneal_solve_fused(ops, cfg)
+    x = anneal_solve_fused(ops, cfg, interpret=S.pallas_interpret())
     flow = S.flow_from_state(x, ops)
     wrgb, wmask = R.rasterize(x[:2], _to_f32(rgb), 1.0 - ops.mask)
     return x, flow, wrgb.astype(jnp.uint8), wmask.astype(jnp.uint8)
@@ -443,6 +443,31 @@ def _solve_and_raster_canvas_impl(ops, rgb, offs, dyn, static_key, canvas_hw,
     return flows, wrgbs, wmasks
 
 
+@lru_cache(maxsize=None)
+def _canvas_sharded_fn(mesh, static_key, canvas_hw, compact_flow, transposed):
+    """jit(shard_map(...)) wrapper for the canvas impl over the mesh's 'data'
+    axis. shard_map — not GSPMD auto-partitioning — is load-bearing: the
+    batched program contains pallas_calls (custom calls the SPMD partitioner
+    cannot split), so each device must trace its own LOCAL-batch kernel.
+    Zero collectives inside (each device owns whole problems — the reference
+    farm semantics, para_gen.py:560-567). dyn stays a replicated traced arg
+    so schedule sweeps don't recompile."""
+    from jax.sharding import PartitionSpec as P
+
+    spec = P("data")
+
+    def fn(ops, rgb, offs, dyn):
+        return _solve_and_raster_canvas_impl(
+            ops, rgb, offs, dyn, static_key, canvas_hw=canvas_hw,
+            compact_flow=compact_flow, transposed=transposed,
+        )
+
+    return jax.jit(jax.shard_map(
+        fn, mesh=mesh, in_specs=(spec, spec, spec, P()),
+        out_specs=(spec, spec, spec), check_vma=False,
+    ))
+
+
 def solve_and_raster_canvas(ops_batched, rgb_batched, offs, cfg: SolverConfig,
                             canvas_hw: tuple, mesh=None,
                             compact_flow: bool = True,
@@ -451,18 +476,16 @@ def solve_and_raster_canvas(ops_batched, rgb_batched, offs, cfg: SolverConfig,
 
     offs: (B, 2) int32 (dy, dx) of each solve box inside its canvas box.
     Returns (flows, wrgbs, wmasks); flows are i16 fixed-point when
-    compact_flow. `mesh` shards the batch over the 'data' axis."""
+    compact_flow. `mesh` shards the batch over the 'data' axis via shard_map
+    (B must divide by the axis size — pipeline/batch.py's ladder guarantees
+    it)."""
     cfg = cfg.resolve()
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        def put(leaf):
-            spec = P("data", *([None] * (leaf.ndim - 1)))
-            return jax.device_put(leaf, NamedSharding(mesh, spec))
-
-        ops_batched = jax.tree.map(put, ops_batched)
-        rgb_batched = put(rgb_batched)
-        offs = put(offs)
+        fn = _canvas_sharded_fn(
+            mesh, cfg.static_key, tuple(canvas_hw), compact_flow, transposed,
+        )
+        dyn = jax.tree.map(jnp.float32, cfg.dynamic)
+        return fn(ops_batched, rgb_batched, offs, dyn)
     return _solve_and_raster_canvas_impl(
         ops_batched, rgb_batched, offs, cfg.dynamic, cfg.static_key,
         canvas_hw=tuple(canvas_hw), compact_flow=compact_flow,
@@ -481,21 +504,35 @@ def solve_and_raster_batch(ops_batched, rgb_batched, cfg: SolverConfig,
     many (frame, segment) problems solved in one compiled program.
 
     `mesh`: optional jax Mesh — the batch axis is sharded over its 'data'
-    axis (the multi-chip task farm, para_gen.py:560-567 equivalent; zero
-    collectives, each chip owns whole problems). B must be divisible by the
-    'data' axis size.
+    axis via shard_map (the multi-chip task farm, para_gen.py:560-567
+    equivalent; zero collectives, each chip owns whole problems). B must be
+    divisible by the 'data' axis size.
     """
     cfg = cfg.resolve()
     if mesh is not None:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-
-        def put(leaf):
-            spec = P("data", *([None] * (leaf.ndim - 1)))
-            return jax.device_put(leaf, NamedSharding(mesh, spec))
-
-        ops_batched = jax.tree.map(put, ops_batched)
-        rgb_batched = put(rgb_batched)
+        fn = _batch_sharded_fn(mesh, cfg.static_key, compact_flow)
+        dyn = jax.tree.map(jnp.float32, cfg.dynamic)
+        return fn(ops_batched, rgb_batched, dyn)
     return _solve_and_raster_batch_impl(
         ops_batched, rgb_batched, cfg.dynamic, cfg.static_key,
         compact_flow=compact_flow,
     )
+
+
+@lru_cache(maxsize=None)
+def _batch_sharded_fn(mesh, static_key, compact_flow):
+    """jit(shard_map(...)) for solve_and_raster_batch — see _canvas_sharded_fn
+    for why shard_map (not GSPMD auto-partitioning) is required here."""
+    from jax.sharding import PartitionSpec as P
+
+    spec = P("data")
+
+    def fn(ops, rgb, dyn):
+        return _solve_and_raster_batch_impl(
+            ops, rgb, dyn, static_key, compact_flow=compact_flow,
+        )
+
+    return jax.jit(jax.shard_map(
+        fn, mesh=mesh, in_specs=(spec, spec, P()),
+        out_specs=(spec, spec, spec, spec), check_vma=False,
+    ))

@@ -82,13 +82,16 @@ def _corner_colors(rgb: np.ndarray):
 
 
 def rasterize_warp_exact(
-    warp: np.ndarray, rgb: np.ndarray, arap_mask: np.ndarray
-) -> tuple[np.ndarray, np.ndarray]:
+    warp: np.ndarray, rgb: np.ndarray, arap_mask: np.ndarray,
+    return_prio: bool = False,
+):
     """Rasterize a warped grid into (warped_rgb (H,W,3) u8, warped_mask (H,W) u8).
 
     warp: (H, W, 2) float32 absolute warped positions (x, y) per pixel.
     rgb:  (H, W, 3) uint8 source colors.
     arap_mask: (H, W); 0 = object (drawn), nonzero = excluded.
+    return_prio: also return the (H, W) int64 winning-triangle draw priority
+    (−1 where uncovered) — diagnostic for the device-raster window design.
     """
     warp = np.ascontiguousarray(warp, np.float32)
     H, W = arap_mask.shape
@@ -100,10 +103,13 @@ def rasterize_warp_exact(
     C0, C1, C2 = C0[keep], C1[keep], C2[keep]
     prio = prio[keep]
     if len(prio) == 0:
-        return (
+        empty = (
             np.zeros((H, W, 3), np.uint8),
             np.zeros((H, W), np.uint8),
         )
+        if return_prio:
+            return (*empty, np.full((H, W), -1, np.int64))
+        return empty
 
     # bbox loop bounds (floor(min) .. ceil(max) inclusive, main.cpp:123-126)
     bmin = np.floor(np.minimum(np.minimum(P0, P1), P2)).astype(np.int64)
@@ -156,6 +162,9 @@ def rasterize_warp_exact(
     out[won, 1] = (key[won] >> 8) & 0xFF
     out[won, 2] = key[won] & 0xFF
     wmask = np.where(covered, np.uint8(255), np.uint8(0)).reshape(H, W)
+    if return_prio:
+        prio_map = np.where(won, key >> 24, np.int64(-1)).reshape(H, W)
+        return out.reshape(H, W, 3), wmask, prio_map
     return out.reshape(H, W, 3), wmask
 
 

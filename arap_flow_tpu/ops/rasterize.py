@@ -12,18 +12,25 @@ flow field is zero outside the segment). This module uses a hybrid:
    source index is exactly the priority winner at that cell (to rounding).
 2. **Dilation**: a few 3×3 max-pool passes fill cells no source rounded into
    (triangle interiors/stretch), all with static shifts.
-3. **Windowed exact test**: for each output pixel, the K×K candidate quads
-   around its seed run the reference's LK edge-function coverage test and the
-   accepted candidate with the highest draw priority wins — the reference's
-   last-write-wins rule restricted to the candidate window. The window is
-   ANCHORED ASYMMETRICALLY (offsets −2..window−3 by default): the seed is the
-   max source index landing near the pixel, so the true winner — the highest-
-   priority accepted quad — is never more than ~1 quad above it in index
-   order, while dilation can displace seeds a couple of quads upward.
-   Measured on the golden cat512 warp: offsets −2..+1 (window=4) matches the
-   −2..+2 window's 99.93% mask agreement; −2..0 (window=3, the default)
-   keeps 99.87% at 0.71× the in-batch cost (33 vs 46 ms/problem at B=8,
-   224×384); symmetric −1..+1 collapses to 95.9%.
+3. **Dual-seed windowed exact test**: for each output pixel, candidate quads
+   run the reference's LK edge-function coverage test and the accepted
+   candidate with the highest draw priority wins — the reference's
+   last-write-wins rule restricted to the candidate set. The set is the
+   UNION of two seed-relative rectangles (default; calibrated by exact
+   winner statistics, scripts/raster_window_design.py):
+   - around the MAX-seed (highest source index landing nearby — the top
+     fold, which usually IS the priority winner): offsets dy −2..0 ×
+     dx −2..+1, skewed negative because the seed is the neighborhood max;
+   - around a MIN-combining seed (lowest source index — the bottom fold):
+     dy −1..+1 × dx −1..0. In fold regions the two folds' source indices
+     are far apart; a single-seed window around the max fold structurally
+     misses pixels only the bottom fold covers (measured: the entire
+     99.87%→99.95%+ gap).
+   Measured on the golden cat512 warp: dual-seed default 99.985% mask
+   agreement vs the exact splat (40/512² px differ) at ≈ the single-seed
+   window-4 device cost (64.8 vs 62.7 ms standalone at 224×384 — the
+   program round-trip floor dominates); single-seed −2..0 (window=3) keeps
+   99.87%, symmetric −1..+1 collapses to 95.9%.
 4. Barycentric color interpolation of the winner's corners, truncated to whole
    uint8 values (mLib vec3uc cast semantics).
 
@@ -72,64 +79,97 @@ def _lk_accept(p0x, p0y, p1x, p1y, p2x, p2y, sx, sy):
     return ok, n12, n20, n01
 
 
-def _seed_map(warp: jnp.ndarray, drawable: jnp.ndarray, dilate: int) -> jnp.ndarray:
-    """Scatter source indices to their rounded landing cells, then max-dilate.
+_MIN_EMPTY = jnp.int32(2 ** 31 - 1)
 
-    Returns (H, W) int32 of source linear indices (−1 where no seed)."""
+
+def _seed_map(warp: jnp.ndarray, drawable: jnp.ndarray, dilate: int,
+              combine: str = "max") -> jnp.ndarray:
+    """Scatter source indices to their rounded landing cells, then dilate.
+
+    combine='max': returns (H, W) int32 of the HIGHEST source linear index
+    landing near each cell (−1 where none) — tracks the top fold (draw
+    priority is row-major source order). combine='min': the LOWEST index
+    (_MIN_EMPTY where none) — tracks the bottom fold, whose quads cover the
+    pixels the top fold's candidates miss (scripts/raster_window_design.py)."""
     H, W = drawable.shape
+    is_max = combine == "max"
+    empty = jnp.int32(-1) if is_max else _MIN_EMPTY
     src_idx = (
         jnp.arange(H * W, dtype=jnp.int32).reshape(H, W)
     )
     lx = jnp.clip(jnp.round(warp[0]).astype(jnp.int32), 0, W - 1)
     ly = jnp.clip(jnp.round(warp[1]).astype(jnp.int32), 0, H - 1)
-    vals = jnp.where(drawable, src_idx, -1)
-    seeds = jnp.full((H * W,), -1, jnp.int32)
-    seeds = seeds.at[ly.ravel() * W + lx.ravel()].max(vals.ravel())
+    vals = jnp.where(drawable, src_idx, empty)
+    seeds = jnp.full((H * W,), empty, jnp.int32)
+    at = seeds.at[ly.ravel() * W + lx.ravel()]
+    seeds = (at.max(vals.ravel()) if is_max else at.min(vals.ravel()))
     seeds = seeds.reshape(H, W)
+    comb = jnp.maximum if is_max else jnp.minimum
 
     def pool(_, s):
-        """Fill-only dilation: empty cells take the neighborhood max; occupied
-        cells keep their (accurate) seed."""
+        """Fill-only dilation: empty cells take the neighborhood best;
+        occupied cells keep their (accurate) seed."""
         nbr = s
         for dy in (-1, 0, 1):
             for dx in (-1, 0, 1):
                 if dy == 0 and dx == 0:
                     continue
-                sh = jnp.full_like(s, -1)
+                sh = jnp.full_like(s, empty)
                 ys = slice(max(dy, 0), H + min(dy, 0))
                 yd = slice(max(-dy, 0), H + min(-dy, 0))
                 xs = slice(max(dx, 0), W + min(dx, 0))
                 xd = slice(max(-dx, 0), W + min(-dx, 0))
                 sh = sh.at[yd, xd].set(s[ys, xs])
-                nbr = jnp.maximum(nbr, sh)
-        return jnp.where(s < 0, nbr, s)
+                nbr = comb(nbr, sh)
+        return jnp.where(s == empty, nbr, s)
 
     # fori_loop, not an unrolled Python loop: this platform charges ~1 ms
     # per HLO op, and the pool body is ~30 ops — loop-carried they count once
     return jax.lax.fori_loop(0, dilate, pool, seeds)
 
 
-@partial(jax.jit, static_argnames=("window", "dilate", "anchor"))
+# default dual-seed candidate design (scripts/raster_window_design.py grid
+# search on the golden cat512 warp): max-seed rect dy −2..0 × dx −2..+1 +
+# min-seed rect dy −1..+1 × dx −1..0 = 18 quads, true-winner containment
+# ≥ 99.956% (measured mask agreement higher still — a missed winner usually
+# leaves a lower-priority candidate covering the pixel)
+_MAX_RECT_DEFAULT = (-2, 0, -2, 1)
+_MIN_RECT_DEFAULT = (-1, 1, -1, 0)
+
+
+@partial(jax.jit, static_argnames=("window", "dilate", "anchor", "min_rect"))
 def rasterize(
     warp: jnp.ndarray,
     rgb: jnp.ndarray,
     arap_mask: jnp.ndarray,
-    window: int = 3,
+    window: int | None = None,
     dilate: int = 3,
     anchor: int | None = None,
+    min_rect: tuple | None = "default",
 ) -> tuple[jnp.ndarray, jnp.ndarray]:
     """Forward-rasterize the warped grid.
 
     warp: (2, H, W) absolute warped positions; rgb: (3, H, W) float32 colors;
-    arap_mask: (H, W), 0 = object. Candidate quads are taken at offsets
-    −anchor..window−1−anchor around each pixel's seed (anchor defaults to
-    min(2, window−1); see module docstring for why the window skews negative).
+    arap_mask: (H, W), 0 = object. Candidate quads are the union of a rect
+    around the MAX-seed (top fold; offsets −anchor..window−1−anchor when
+    `window` is given, else the calibrated default) and a rect around the
+    MIN-seed (bottom fold — `min_rect`, (y0,y1,x0,x1) inclusive offsets;
+    None disables the second seed; "default" uses the calibrated rect, but
+    only when `window` is not explicitly set).
     Returns (warped_rgb (3,H,W) f32 holding whole uint8 values, warped_mask
     (H,W) f32 ∈ {0,255}).
     """
     H, W = arap_mask.shape
-    if anchor is None:
-        anchor = min(2, window - 1)
+    if window is None:
+        max_rect = _MAX_RECT_DEFAULT
+        if min_rect == "default":
+            min_rect = _MIN_RECT_DEFAULT
+    else:
+        if anchor is None:
+            anchor = min(2, window - 1)
+        max_rect = (-anchor, window - 1 - anchor, -anchor, window - 1 - anchor)
+        if min_rect == "default":
+            min_rect = None  # explicit window => legacy single-seed behavior
     m = arap_mask == 0
     # quad drawable iff all 4 corners unmasked (main.cpp:190-195)
     m4 = jnp.zeros((H, W), bool)
@@ -137,86 +177,100 @@ def rasterize(
         m[:-1, :-1] & m[:-1, 1:] & m[1:, :-1] & m[1:, 1:]
     )
 
-    seeds = _seed_map(warp, m4, dilate)
-    sy0 = seeds // W - anchor
-    sx0 = seeds % W - anchor
-    has_seed = seeds >= 0
-
     gx = jnp.arange(W, dtype=jnp.float32)[None, :] * jnp.ones((H, 1), jnp.float32)
     gy = jnp.arange(H, dtype=jnp.float32)[:, None] * jnp.ones((1, W), jnp.float32)
 
     warp_rows = warp.reshape(2, -1).T  # (HW, 2): one gather per corner
     m4f = m4.ravel()
 
-    def corner(cy_arr, cx):
-        yy = jnp.clip(cy_arr, 0, H - 1)
-        xx = jnp.clip(sx0 + cx, 0, W - 1)
-        idx = yy * W + xx
-        wxy = jnp.take(warp_rows, idx, axis=0)
-        return wxy[..., 0], wxy[..., 1], idx
-
     neg = jnp.int32(-1)
-    init = (
+    carry = (
         jnp.full((H, W), neg, jnp.int32),            # best_prio
         jnp.zeros((3, H, W), jnp.float32),           # best_w
         jnp.zeros((3, H, W), jnp.int32),             # best corner indices
         jnp.zeros((H, W), bool),                     # covered
     )
 
-    # scan over window rows (graph size ∝ window, not window²: an unrolled
-    # candidate loop makes the XLA compile explode at production sizes).
-    # adjacent candidate rows share a corner row: carry it through the scan
-    # (halves the dominant cost — the corner gathers)
-    def gather_row(cy_arr):
-        parts = [corner(cy_arr, cx) for cx in range(window + 1)]
-        return (
-            jnp.stack([p[0] for p in parts]),
-            jnp.stack([p[1] for p in parts]),
-            jnp.stack([p[2] for p in parts]),
-        )
+    def run_rect(carry, seeds, empty, rect):
+        """Test all quads at `rect` offsets around `seeds`, updating the
+        (best_prio, best_w, best_c, covered) carry.
 
-    def row_body(carry, oy):
-        best_prio, best_w, best_c, covered, prev = carry
-        cy0 = sy0 + oy
-        r0x, r0y, r0i = prev
-        r1x, r1y, r1i = gather_row(cy0 + 1)
-        row0 = [(r0x[cx], r0y[cx], r0i[cx]) for cx in range(window + 1)]
-        row1 = [(r1x[cx], r1y[cx], r1i[cx]) for cx in range(window + 1)]
-        for ox in range(window):
-            c00, c01 = row0[ox], row0[ox + 1]
-            c10, c11 = row1[ox], row1[ox + 1]
-            qyy = cy0
-            qxx = sx0 + ox
-            in_range = (
-                has_seed
-                & (qyy >= 0)
-                & (qyy < H - 1)
-                & (qxx >= 0)
-                & (qxx < W - 1)
+        Scans over candidate rows (graph size ∝ rows, not rows×cols: an
+        unrolled candidate loop makes the XLA compile explode at production
+        sizes); adjacent candidate rows share a corner row carried through
+        the scan (halves the dominant cost — the corner gathers)."""
+        y0, y1, x0, x1 = rect
+        n_rows = y1 - y0 + 1
+        n_cols = x1 - x0 + 1
+        has_seed = seeds != empty
+        sy0 = seeds // W + y0
+        sx0 = seeds % W + x0
+
+        def corner(cy_arr, cx):
+            yy = jnp.clip(cy_arr, 0, H - 1)
+            xx = jnp.clip(sx0 + cx, 0, W - 1)
+            idx = yy * W + xx
+            wxy = jnp.take(warp_rows, idx, axis=0)
+            return wxy[..., 0], wxy[..., 1], idx
+
+        def gather_row(cy_arr):
+            parts = [corner(cy_arr, cx) for cx in range(n_cols + 1)]
+            return (
+                jnp.stack([p[0] for p in parts]),
+                jnp.stack([p[1] for p in parts]),
+                jnp.stack([p[2] for p in parts]),
             )
-            qvalid = in_range & m4f[
-                jnp.clip(qyy, 0, H - 1) * W + jnp.clip(qxx, 0, W - 1)
-            ]
-            qprio = (qyy * (W - 1) + qxx) * 2
-            for t, (A, B, Cc) in enumerate(((c00, c01, c10), (c10, c01, c11))):
-                ok, w0, w1, w2 = _lk_accept(
-                    A[0], A[1], B[0], B[1], Cc[0], Cc[1], gx, gy
-                )
-                ok = ok & qvalid
-                prio = qprio + t
-                take = ok & (prio > best_prio)
-                best_prio = jnp.where(take, prio, best_prio)
-                best_w = jnp.where(take, jnp.stack([w0, w1, w2]), best_w)
-                best_c = jnp.where(
-                    take, jnp.stack([A[2], B[2], Cc[2]]), best_c
-                )
-                covered = covered | ok
-        return (best_prio, best_w, best_c, covered, (r1x, r1y, r1i)), None
 
-    first_row = gather_row(sy0)
-    (best_prio, best_w, best_c, covered, _prev), _ = jax.lax.scan(
-        row_body, (*init, first_row), jnp.arange(window)
-    )
+        def row_body(c, oy):
+            best_prio, best_w, best_c, covered, prev = c
+            cy0 = sy0 + oy
+            r0x, r0y, r0i = prev
+            r1x, r1y, r1i = gather_row(cy0 + 1)
+            row0 = [(r0x[cx], r0y[cx], r0i[cx]) for cx in range(n_cols + 1)]
+            row1 = [(r1x[cx], r1y[cx], r1i[cx]) for cx in range(n_cols + 1)]
+            for ox in range(n_cols):
+                c00, c01 = row0[ox], row0[ox + 1]
+                c10, c11 = row1[ox], row1[ox + 1]
+                qyy = cy0
+                qxx = sx0 + ox
+                in_range = (
+                    has_seed
+                    & (qyy >= 0)
+                    & (qyy < H - 1)
+                    & (qxx >= 0)
+                    & (qxx < W - 1)
+                )
+                qvalid = in_range & m4f[
+                    jnp.clip(qyy, 0, H - 1) * W + jnp.clip(qxx, 0, W - 1)
+                ]
+                qprio = (qyy * (W - 1) + qxx) * 2
+                for t, (A, B, Cc) in enumerate(((c00, c01, c10), (c10, c01, c11))):
+                    ok, w0, w1, w2 = _lk_accept(
+                        A[0], A[1], B[0], B[1], Cc[0], Cc[1], gx, gy
+                    )
+                    ok = ok & qvalid
+                    prio = qprio + t
+                    take = ok & (prio > best_prio)
+                    best_prio = jnp.where(take, prio, best_prio)
+                    best_w = jnp.where(take, jnp.stack([w0, w1, w2]), best_w)
+                    best_c = jnp.where(
+                        take, jnp.stack([A[2], B[2], Cc[2]]), best_c
+                    )
+                    covered = covered | ok
+            return (best_prio, best_w, best_c, covered, (r1x, r1y, r1i)), None
+
+        first_row = gather_row(sy0)
+        (*out, _prev), _ = jax.lax.scan(
+            row_body, (*carry, first_row), jnp.arange(n_rows)
+        )
+        return tuple(out)
+
+    seeds_max = _seed_map(warp, m4, dilate, combine="max")
+    carry = run_rect(carry, seeds_max, jnp.int32(-1), max_rect)
+    if min_rect is not None:
+        seeds_min = _seed_map(warp, m4, dilate, combine="min")
+        carry = run_rect(carry, seeds_min, _MIN_EMPTY, tuple(min_rect))
+    best_prio, best_w, best_c, covered = carry
     best_w = [best_w[0], best_w[1], best_w[2]]
     best_c = [best_c[0], best_c[1], best_c[2]]
 
@@ -236,13 +290,14 @@ def rasterize_flow(
     flow: jnp.ndarray,
     rgb: jnp.ndarray,
     arap_mask: jnp.ndarray,
-    window: int = 3,
+    window: int | None = None,
     dilate: int = 3,
     anchor: int | None = None,
+    min_rect: tuple | None = "default",
 ):
     """Rasterize from a flow field (2, H, W): warp = flow + grid (the warp_image
     entry semantics, main.cpp:159-166)."""
     return rasterize(
         make_warp(flow), rgb, arap_mask, window=window, dilate=dilate,
-        anchor=anchor,
+        anchor=anchor, min_rect=min_rect,
     )

@@ -200,6 +200,17 @@ def pcg_solve(
     return state[1], state[0]
 
 
+def pallas_interpret() -> bool:
+    """Pallas kernels run in interpret mode off-TPU: backend='pallas' forced
+    on the virtual CPU mesh exercises the SAME kernel code paths the TPU
+    runs (tests/test_pipeline_batched.py sharded×pallas coverage). Evaluated
+    at trace time; deterministic per process platform, so jit caches stay
+    coherent."""
+    import jax as _jax
+
+    return _jax.default_backend() in ("cpu", "gpu")
+
+
 def gn_step(x, ops, cimg, cfg: SolverConfig, pcg_iters, q_tol, rz_tol):
     """One Gauss-Newton iteration: linearise at x, PCG-solve, update.
 
@@ -215,7 +226,8 @@ def gn_step(x, ops, cimg, cfg: SolverConfig, pcg_iters, q_tol, rz_tol):
         budget = jnp.minimum(
             jnp.float32(cfg.max_pcg_iters), jnp.float32(pcg_iters)
         ).astype(jnp.int32)
-        delta, iters = pcg_solve_pallas(ops, s, c, jtf, diag, budget)
+        delta, iters = pcg_solve_pallas(ops, s, c, jtf, diag, budget,
+                                        interpret=pallas_interpret())
     else:
         delta, iters = pcg_solve(
             ops, s, c, jtf, diag, cfg.max_pcg_iters, pcg_iters, q_tol, rz_tol
@@ -318,7 +330,7 @@ def solve(ops: ArapOperands, cfg: SolverConfig):
     if _use_fused(ops, cfg):
         from .pallas_solver import anneal_solve_fused
 
-        x = anneal_solve_fused(ops, cfg)
+        x = anneal_solve_fused(ops, cfg, interpret=pallas_interpret())
         return x, _flow_jit(x, ops.grid)
     x, flow, _ = _solve_impl(ops, cfg.dynamic, cfg.static_key)
     return x, flow
@@ -330,7 +342,7 @@ def solve_stats(ops: ArapOperands, cfg: SolverConfig):
     if _use_fused(ops, cfg):
         from .pallas_solver import anneal_solve_fused
 
-        x = anneal_solve_fused(ops, cfg)
+        x = anneal_solve_fused(ops, cfg, interpret=pallas_interpret())
         n = float(cfg.num_anneal * cfg.gn_iters) * float(
             min(cfg.max_pcg_iters, int(cfg.pcg_iters))
         )
@@ -436,6 +448,7 @@ def solve_batch(ops: ArapOperands, cfg: SolverConfig):
 
         xs, flows, _ = _solve_batch_kernel_impl(
             ops, cfg.dynamic, cfg.static_key, tall=tall_kernel_enabled(),
+            interpret=pallas_interpret(),
         )
         return xs, flows
     xs, flows, _ = _solve_batch_impl(ops, cfg.dynamic, cfg.static_key)

@@ -7,6 +7,8 @@ Data-parallel ARAP is communication-free: every chip owns whole problems
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -42,12 +44,30 @@ def shard_batch(ops_batched, mesh: Mesh):
     return jax.tree.map(put, ops_batched)
 
 
-def solve_batch_sharded(ops_batched, cfg: S.SolverConfig, mesh: Mesh):
-    """Data-parallel batched solve: batch sharded over the mesh's 'data' axis.
+@lru_cache(maxsize=None)
+def _solve_batch_sharded_fn(mesh: Mesh, cfg: S.SolverConfig):
+    """Cached jit(shard_map(solve_batch)) — a fresh shard_map per call would
+    recompile every time."""
+    from jax.sharding import PartitionSpec as P
 
-    The per-problem program is identical to the single-chip path; XLA partitions
-    the batched computation with zero collectives (each chip owns whole
-    problems). Batch size must be divisible by the data-axis size.
+    spec = P("data")
+
+    def fn(ops):
+        return S.solve_batch(ops, cfg)
+
+    return jax.jit(jax.shard_map(
+        fn, mesh=mesh, in_specs=(spec,), out_specs=(spec, spec),
+        check_vma=False,
+    ))
+
+
+def solve_batch_sharded(ops_batched, cfg: S.SolverConfig, mesh: Mesh):
+    """Data-parallel batched solve: batch sharded over the mesh's 'data' axis
+    via shard_map — each device traces its own LOCAL-batch program (the
+    batched program may contain pallas_calls, which the GSPMD auto-partitioner
+    cannot split), with zero collectives (each chip owns whole problems).
+    Batch size must be divisible by the data-axis size.
     """
-    ops_sharded = shard_batch(ops_batched, mesh)
-    return S.solve_batch(ops_sharded, cfg)
+    return _solve_batch_sharded_fn(mesh, cfg.resolve())(
+        shard_batch(ops_batched, mesh)
+    )

@@ -45,6 +45,14 @@ def main():
     ergb = ergb_hw.transpose(2, 0, 1)
     rgb = rgb.transpose(2, 0, 1).astype(np.float32)
 
+    # new default dual-seed design
+    drgb, dmask = rasterize_flow(
+        jnp.asarray(flow), jnp.asarray(rgb), jnp.asarray(mask)
+    )
+    ma, ra = agreement(np.asarray(dmask), emask, np.asarray(drgb), ergb)
+    print(f"DEFAULT dual-seed: mask {ma*100:.4f}% rgb±1 {ra*100:.4f}% "
+          f"({int(((np.asarray(dmask)>0)!=(emask>0)).sum())} px differ)", flush=True)
+
     rows = []
     for window, anchor, dilate in (
         (3, 2, 3), (4, 2, 3), (5, 3, 3), (5, 4, 3), (7, 5, 3), (9, 6, 4),
@@ -83,6 +91,20 @@ def main():
     # classify: does the pixel have a seed at all? and for missed-coverage
     # pixels, how far is the nearest drawable quad whose warped bbox contains
     # the pixel?
+    def lk_accept_np(p0, p1, p2, sx, sy):
+        X0, Y0 = p0[0] - sx, p0[1] - sy
+        X1, Y1 = p1[0] - sx, p1[1] - sy
+        X2, Y2 = p2[0] - sx, p2[1] - sy
+        d01 = X0 * Y1 - Y0 * X1
+        d12 = X1 * Y2 - Y1 * X2
+        d20 = X2 * Y0 - Y2 * X0
+        if d01 < 0 and d12 < 0 and d20 < 0:
+            return False
+        ssum = d01 + d12 + d20
+        if ssum == 0:
+            return False
+        return d01 / ssum >= 0 and d12 / ssum >= 0 and d20 / ssum >= 0
+
     cnt = Counter()
     offs = []
     for y, x in dis:
@@ -91,25 +113,28 @@ def main():
             cnt["no-seed"] += 1
             continue
         sy, sx = divmod(int(s), W)
-        # search exhaustively for covering quads near the seed
+        # search exhaustively for quads whose triangles ACCEPT this pixel
         found = None
-        for oy in range(-8, 9):
-            for ox in range(-8, 9):
+        for oy in range(-10, 11):
+            for ox in range(-10, 11):
                 qy, qx = sy + oy, sx + ox
                 if not (0 <= qy < H - 1 and 0 <= qx < W - 1) or not m4[qy, qx]:
                     continue
-                cs = warp[:, qy:qy+2, qx:qx+2].reshape(2, 4)
-                if (cs[0].min() - 1 <= x <= cs[0].max() + 1
-                        and cs[1].min() - 1 <= y <= cs[1].max() + 1):
-                    if found is None or (qy, qx) > found:
-                        found = (qy, qx)
+                p00 = warp[:, qy, qx]
+                p01 = warp[:, qy, qx + 1]
+                p10 = warp[:, qy + 1, qx]
+                p11 = warp[:, qy + 1, qx + 1]
+                acc = (lk_accept_np(p00, p01, p10, x, y)
+                       or lk_accept_np(p10, p01, p11, x, y))
+                if acc and (found is None or (qy, qx) > found):
+                    found = (qy, qx)
         if found is None:
-            cnt["no-quad-within-8"] += 1
+            cnt["no-accepting-quad-within-10"] += 1
         else:
             dy, dx = found[0] - sy, found[1] - sx
-            cnt[f"bbox-quad at ({dy},{dx})"] += 1
+            cnt[f"winner at ({dy},{dx})"] += 1
             offs.append((dy, dx))
-    for k, n in cnt.most_common(20):
+    for k, n in cnt.most_common(30):
         print(f"  {k}: {n}")
     if offs:
         offs = np.array(offs)

@@ -27,17 +27,21 @@ def main():
         flow[0] = np.where(ell, 17.3, 0) + rng.normal(0, 0.5, (H, W))
         flow[1] = np.where(ell, -11.2, 0) + rng.normal(0, 0.5, (H, W))
         rgb = rng.uniform(0, 255, (3, H, W)).astype(np.float32)
-        for window in (4, 3):
+        for label, kw in (
+            ("dual-default", {}),
+            ("w4", {"window": 4}),
+            ("w3", {"window": 3}),
+        ):
             f = jnp.asarray(flow); r = jnp.asarray(rgb); m = jnp.asarray(amask)
-            out = rasterize_flow(f, r, m, window=window)
+            out = rasterize_flow(f, r, m, **kw)
             np.asarray(out[0])
             ts = []
             for _ in range(5):
                 t0 = time.time()
-                out = rasterize_flow(f, r, m, window=window)
+                out = rasterize_flow(f, r, m, **kw)
                 np.asarray(out[0])
                 ts.append(time.time() - t0)
-            print(f"{H}x{W} window={window}: {min(ts)*1000:.1f} ms", flush=True)
+            print(f"{H}x{W} {label}: {min(ts)*1000:.1f} ms", flush=True)
 
 
 if __name__ == "__main__":

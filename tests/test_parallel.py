@@ -75,3 +75,38 @@ def test_spatial_full_mesh_space8():
     xs, flows = solve_spatial(batched, cfg, mesh)
     x0, f0 = S.solve(p, cfg)
     np.testing.assert_allclose(np.asarray(xs[0]), np.asarray(x0), atol=5e-4)
+
+
+def _problem_wide(seed, H=16, W=128):
+    """Lane-aligned problem for the Pallas kernel paths (W = 128)."""
+    rng = np.random.default_rng(seed)
+    arap_mask = np.full((H, W), 255, np.uint8)
+    arap_mask[2 : H - 2, 8 : W - 8] = 0
+    ys, xs = np.mgrid[3 : H - 3 : 4, 10 : W - 10 : 12]
+    cons = np.stack(
+        [xs.ravel(), ys.ravel(),
+         xs.ravel() + rng.integers(-3, 4, xs.size),
+         ys.ravel() + rng.integers(-3, 4, xs.size)], 1).astype(np.int32)
+    cons = add_border_pins(cons, W, H)
+    return E.build_operands(arap_mask, cons)
+
+
+def test_data_parallel_pallas_kernel_matches_single():
+    """The PRODUCTION multi-chip solve path: backend='pallas' routes to the
+    interleaved multi-problem resident kernel, and sharded execution runs it
+    under shard_map (GSPMD cannot partition a pallas custom call). On the
+    8-device CPU mesh the kernels run in interpret mode — the same code path
+    a TPU slice executes — and must match the single-device batched kernel
+    solve exactly."""
+    probs = [_problem_wide(s) for s in range(8)]
+    batched = _batch(probs)
+    cfg = S.SolverConfig(num_anneal=2, gn_iters=2, max_pcg_iters=30,
+                         pcg_iters=30.0, backend="pallas")
+    mesh = make_mesh(data=8, space=1)
+    xs, flows = solve_batch_sharded(batched, cfg, mesh)
+    x1, f1 = S.solve_batch(batched, cfg)
+    np.testing.assert_array_equal(np.asarray(xs), np.asarray(x1))
+    np.testing.assert_array_equal(np.asarray(flows), np.asarray(f1))
+    # and the kernel path was actually eligible (guards the routing gate)
+    from arap_flow_tpu.ops.solver import _batch_kernel_fits
+    assert _batch_kernel_fits(batched)

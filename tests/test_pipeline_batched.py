@@ -209,3 +209,50 @@ def test_batched_mixed_resolutions(tmp_path):
         obj = mask == 1
         assert abs(np.median(u[obj]) - DX) < 0.5
         assert abs(np.median(v[obj]) - DY) < 0.5
+
+
+def test_canvas_sharded_pallas_matches_unsharded():
+    """The production batched dispatch (solve_and_raster_canvas) under the
+    8-device mesh with backend='pallas' (interpret on CPU — the same kernel
+    code a TPU slice runs under shard_map) must match the unsharded batched
+    run byte-for-byte on every product."""
+    import jax
+    import jax.numpy as jnp
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs the virtual multi-device mesh")
+    from arap_flow_tpu.io.constraints import add_border_pins
+    from arap_flow_tpu.models.arap import solve_and_raster_canvas
+    from arap_flow_tpu.ops import energy as E
+    from arap_flow_tpu.ops.solver import SolverConfig
+    from arap_flow_tpu.parallel import make_mesh
+
+    H_, W_ = 32, 128
+    rng = np.random.default_rng(0)
+    ops_list, rgb_list = [], []
+    for s in range(8):
+        arap_mask = np.full((H_, W_), 255, np.uint8)
+        arap_mask[4 : H_ - 4, 10 : W_ - 10] = 0
+        ys, xs = np.mgrid[6 : H_ - 6 : 6, 14 : W_ - 14 : 16]
+        cons = np.stack(
+            [xs.ravel(), ys.ravel(),
+             xs.ravel() + rng.integers(-3, 4, xs.size),
+             ys.ravel() + rng.integers(-3, 4, xs.size)], 1).astype(np.int32)
+        cons = add_border_pins(cons, W_, H_)
+        ops_list.append(E.build_operands(arap_mask, cons))
+        rgb_list.append(rng.integers(0, 256, (3, H_, W_)).astype(np.uint8))
+    batched = jax.tree.map(lambda *ls: jnp.stack(ls), *ops_list)
+    rgb_b = jnp.asarray(np.stack(rgb_list))
+    offs = jnp.zeros((8, 2), jnp.int32)
+    cfg = SolverConfig(num_anneal=2, gn_iters=1, max_pcg_iters=25,
+                       pcg_iters=25.0, backend="pallas")
+    mesh = make_mesh(data=8, space=1)
+    f1, r1, m1 = solve_and_raster_canvas(batched, rgb_b, offs, cfg,
+                                         canvas_hw=(H_, W_), mesh=None)
+    f2, r2, m2 = solve_and_raster_canvas(batched, rgb_b, offs, cfg,
+                                         canvas_hw=(H_, W_), mesh=mesh)
+    np.testing.assert_array_equal(np.asarray(f1), np.asarray(f2))
+    np.testing.assert_array_equal(np.asarray(r1), np.asarray(r2))
+    np.testing.assert_array_equal(np.asarray(m1), np.asarray(m2))
