@@ -232,8 +232,11 @@ def _search_subpatch(g1: jnp.ndarray, g2: jnp.ndarray, radius: int,
     n_off = side * side
     # budget_div: vmapped hypothesis lanes materialise their child stacks
     # CONCURRENTLY — each lane only gets 1/K of the vectorization budget
-    # (same rule as _search's budget_div; OOM otherwise)
-    if n_off * H * W > _SEARCH_VEC_BUDGET // max(1, budget_div):
+    # (same rule as _search's budget_div; OOM otherwise). Extra /3: this
+    # path holds several (n_off, H, W) stacks live at once (shifts, child,
+    # -inf-padded copy, relax, h-padded relax, parent) vs ~2 for the rigid
+    # vectorized search, so the shared budget under-bounds peak memory here
+    if n_off * H * W > _SEARCH_VEC_BUDGET // (3 * max(1, budget_div)):
         zz = _zscore(jnp.stack([g1, g2]), patch)
         return _search(zz[0], zz[1], radius, patch,
                        budget_div=budget_div)

@@ -399,6 +399,10 @@ def pcg_pallas_tall(b, pre, s, c, vmasks, fitmask, wf2, wr2, iters,
             pltpu.VMEM((4, H, W), jnp.float32),
             pltpu.VMEM((4, H, W), jnp.float32),
         ],
+        # delta aliases onto b (read once at init, before the first delta
+        # write) — keeps the tall kernel's resident-plane count equal to the
+        # standard kernel's, so fits_vmem/_PLANES calibration holds for both
+        input_output_aliases={0: 0},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),

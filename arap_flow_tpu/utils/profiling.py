@@ -25,7 +25,13 @@ class StageTimer:
     Thread-safe accumulation: the batched pipeline runs stages concurrently
     from the main thread and worker threads (prep prefetch, collect-side
     paste workers), so the read-modify-write on the shared dicts takes a
-    lock — without it a preemption between read and `+=` drops samples."""
+    lock — without it a preemption between read and `+=` drops samples.
+
+    NOTE on reading totals: concurrent stages OVERLAP in wall time — e.g.
+    'host paste' runs in a collect worker while the main thread sits in
+    'D2H fetch' — so stage totals can sum past the run's wall-clock, and a
+    blocking stage silently absorbs the time of work overlapped under it.
+    Totals are per-stage CPU-occupancy, not a wall-time decomposition."""
 
     def __init__(self):
         self.totals = defaultdict(float)

@@ -150,11 +150,16 @@ def main():
         name: round(timer.totals[name] / 3 / N_PAIRS, 4)
         for name in timer.totals
     }
+
+    e2e = _e2e_measure()
+
     print(
         json.dumps(
             {
                 "metric": "flow pairs/sec/chip, 854x480 multseg (2 segs/pair), "
-                "full 19x8x400 reference schedule (EPE<0.1px golden-validated)",
+                "full 19x8x400 reference schedule (EPE<0.1px golden-validated); "
+                "solve+raster+compose+D2H from file constraints — MATCHING "
+                "EXCLUDED (matcher-inclusive number in e2e_*)",
                 "value": round(ours_pairs_per_s, 3),
                 "unit": "pairs/s/chip",
                 "vs_baseline": round(ours_pairs_per_s / base_pairs_per_s, 2),
@@ -162,9 +167,59 @@ def main():
                 "baseline_runs_s": [round(t, 3) for t in base_times],
                 "baseline_pairs_per_s": round(base_pairs_per_s, 3),
                 "stage_s_per_pair": breakdown,
+                **e2e,
             }
         )
     )
+
+
+def _e2e_measure(n_pairs: int = 12):
+    """Matcher-INCLUSIVE end-to-end number: the full user-visible pipeline
+    (JPEG/PNG decode -> native matcher -> constraint filter -> batched solves
+    -> raster -> compose -> .flo/PNG writes) on a synthetic 854x480 DAVIS-like
+    tree, batched mode, warm (second run; the first pays/caches compiles).
+    This is the honest product throughput — the solve-arm headline above
+    excludes matching (the reference got DeepMatching 'for free' on CPUs
+    while GPUs solved, para_gen.py:227-240 vs 560-567; here the matcher
+    spends device time on the same chip)."""
+    import shutil
+    import tempfile
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                    "scripts"))
+    from pipeline_bench import check_flow_accuracy, make_dataset
+
+    from arap_flow_tpu.pipeline.para_gen import PipelineFlags, main_pipeline
+
+    root = tempfile.mkdtemp(prefix="arap_bench_e2e_")
+    try:
+        data = os.path.join(root, "data")
+        make_dataset(data, n_pairs + 1)
+        runs = []
+        out = None
+        for i in range(3):  # cold + 2 warm
+            out = os.path.join(root, f"out_{i}")
+            flags = PipelineFlags(
+                input=data, output=out, fd=1, multseg=True, seed=0,
+                mode="batched",
+            )
+            t0 = time.time()
+            triples = main_pipeline(flags)
+            runs.append(time.time() - t0)
+            assert len(triples) == n_pairs
+        check_flow_accuracy(out, data)  # raises on inaccuracy
+        warm = min(runs[1:])
+        return {
+            "e2e_metric": "END-TO-END pairs/sec/chip incl. matching: decode + "
+            "native matcher + filter + batched solves (19x8x400) + raster + "
+            "compose + .flo/PNG writes, 854x480 multseg, warm",
+            "e2e_value": round(n_pairs / warm, 3),
+            "e2e_unit": "pairs/s/chip",
+            "e2e_runs_s": [round(t, 2) for t in runs],
+            "e2e_flow_accuracy": "checked (<1px median on rigid objects)",
+        }
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 if __name__ == "__main__":
