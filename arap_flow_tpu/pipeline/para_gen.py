@@ -44,6 +44,13 @@ from ..utils.profiling import StageTimer
 
 TIMER = StageTimer()  # populated when ARAP_PROFILE=1
 
+# (pairs_collected, loop_iteration_wall_s) per batched-loop iteration of the
+# LAST main_pipeline call — steady-state latency telemetry for endurance
+# runs (scripts/endurance.py). Iterations overlap chunks (dispatch k while
+# collecting k-1), so wall/pairs is per-pair THROUGHPUT latency, not
+# submit-to-write latency.
+CHUNK_STATS: list = []
+
 # pairs per vmapped matcher program in batched mode (fixed so the compile
 # set stays at two programs: B=this and B=1 for ragged tails; measured
 # 0.31/0.159/0.131 s/pair at B=1/2/4, 854x480 — ARAP_MATCH_SUBBATCH overrides
@@ -86,7 +93,13 @@ class PipelineFlags:
     gpu: list = field(default_factory=lambda: [0])  # accepted for CLI parity
     multseg: bool = False
     resume: bool = False
-    narap: int = 7  # batch budget (reference: buffered files per GPU)
+    # batch budget (reference: buffered files per GPU). Default 2 → 4-pair
+    # chunks: measured best on TPU (2.63 vs 1.90 pairs/s at narap=7, 24-pair
+    # warm e2e) — fine-grained chunks keep the depth-2 prep/solve pipeline
+    # full and align with MATCH_SUBBATCH=4 matcher programs; the interleaved
+    # solve kernel's batch-efficiency loss at B=4 is smaller than the
+    # pipelining gain
+    narap: int = 2
     size: tuple | None = None
     fd: int = 1
     matcher: str = "native"  # native | binary | file
@@ -773,6 +786,7 @@ def main_pipeline(
         # inside the device program
         print("ARAP_RASTER=host: forcing --mode simple (exact per-pair raster)")
         flags.mode = "simple"
+    CHUNK_STATS.clear()
     rng = np.random.default_rng(flags.seed)
     bgpool = BackgroundPool(flags.bg_dir, rng)
     deformer = ArapDeformer(
@@ -819,8 +833,20 @@ def main_pipeline(
             # sequence deterministic)
             from concurrent.futures import ThreadPoolExecutor
 
-            chunks = [pairs[i : i + chunk]
-                      for i in range(0, len(pairs), chunk)]
+            # ramp-up: the FIRST chunk's match-fetch + filter + bucket prep
+            # cannot overlap any solves (nothing is in flight yet), so a
+            # half-size first chunk halves the pipeline-fill bubble; the
+            # MATCH_SUBBATCH-multiple keeps its matcher programs unpadded
+            first = max(MATCH_SUBBATCH, (chunk // 2) // MATCH_SUBBATCH
+                        * MATCH_SUBBATCH)
+            if len(pairs) > chunk and first < chunk:
+                chunks = [pairs[:first]] + [
+                    pairs[i : i + chunk]
+                    for i in range(first, len(pairs), chunk)
+                ]
+            else:
+                chunks = [pairs[i : i + chunk]
+                          for i in range(0, len(pairs), chunk)]
             # depth-2 pipeline: while chunk k's solves execute, chunk k+1's
             # prep (phase B: match fetch, filter, bg, bucketing) runs on the
             # worker thread and chunk k-1's compose/write runs on the main
@@ -863,11 +889,15 @@ def main_pipeline(
                         print(f"  [chunk {i}] phaseA {t1-t0:.2f}s "
                               f"prep-wait {t2-t1:.2f}s dispatch {t3-t2:.2f}s "
                               f"collect+finish {t4-t3:.2f}s", flush=True)
+                    if i > 0:
+                        CHUNK_STATS.append((len(chunks[i - 1]), t4 - t0))
                     inflight = disp
                 if inflight is not None:
+                    t0 = time.time()
                     triples += collect_chunk_batched(
                         flags, inflight, cfg, deformer.weights, writer
                     )
+                    CHUNK_STATS.append((len(chunks[-1]), time.time() - t0))
         else:
             # pipelined simple mode: the next pair's host+matcher prep runs on
             # a worker thread while the current pair's solves occupy the
@@ -945,8 +975,9 @@ def parse_args(argv=None) -> PipelineFlags:
                         help="if each object segment is treated separately")
     parser.add_argument("--resume", action="store_true", default=False,
                         help="skip pairs whose .flo already exists")
-    parser.add_argument("--narap", type=int, default=7,
-                        help="solver batch budget (parity flag)")
+    parser.add_argument("--narap", type=int, default=2,
+                        help="solver batch budget (parity flag; chunk = 2x "
+                        "this — small chunks pipeline best on TPU)")
     parser.add_argument("--size", nargs=2, type=int, default=None,
                         help="[width] [height] to resize+crop all frames to")
     parser.add_argument("--fd", type=int, default=1,
