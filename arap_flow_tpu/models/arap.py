@@ -13,6 +13,7 @@ see tests/test_energy.py::test_excluded_pixels_inert).
 
 from __future__ import annotations
 
+import time as _time
 from dataclasses import dataclass
 from functools import lru_cache, partial
 
@@ -94,6 +95,14 @@ def _solve_and_raster(ops, rgb_f, cfg: SolverConfig):
 # novel shape costs an XLA/Mosaic compile — minutes on some setups). Widths
 # are multiples of 128 (TPU lane dim — anything else pads to the next vreg
 # boundary anyway); heights step by 32 where segments cluster.
+# distinct canvas-program keys used this process → first-use wallclock.
+# The TRUE executable identity of solve_and_raster_canvas includes its
+# STATIC args (canvas_hw, transposed, compact_flow, static_key), which
+# jax's compile logs do not print — sustained-run telemetry
+# (scripts/endurance.py) compares XLA compile events against this registry
+# to detect double-compiles and to time compile-set saturation.
+PROGRAM_KEYS: dict = {}
+
 CROP_BUCKETS: tuple = (
     # (rows, lanes); lanes on 128-multiples (TPU lane tiling). The tall-
     # narrow column serves canonical tall objects AND transposed solves of
@@ -305,8 +314,8 @@ class ArapDeformer:
                 warped_rgb=np.asarray(wrgb).transpose(1, 2, 0).astype(np.uint8),
                 warped_mask=np.asarray(wmask).astype(np.uint8),
             )
-        offs = jnp.asarray([[t.y0 - t.cy0, t.x0 - t.cx0]], jnp.int32)
-        b_ops = jax.tree.map(lambda l: l[None], t.ops)
+        offs = np.asarray([[t.y0 - t.cy0, t.x0 - t.cx0]], np.int32)
+        b_ops = jax.tree.map(lambda l: np.asarray(l)[None], t.ops)
         flows, wrgbs, wmasks = solve_and_raster_canvas(
             b_ops, t.rgb[None], offs, self.cfg, canvas_hw=t.canvas,
             compact_flow=False, transposed=t.transposed,
@@ -480,6 +489,14 @@ def solve_and_raster_canvas(ops_batched, rgb_batched, offs, cfg: SolverConfig,
     (B must divide by the axis size — pipeline/batch.py's ladder guarantees
     it)."""
     cfg = cfg.resolve()
+    # telemetry: full program key incl. the STATIC args invisible in jax's
+    # compile logs (canvas_hw/transposed/compact_flow) → first-use wallclock.
+    # scripts/endurance.py checks (a) XLA compile events per program <= 1 and
+    # (b) no new key appears late in a sustained run (compile-set saturation).
+    key = (tuple(ops_batched.mask_u8.shape), tuple(canvas_hw), transposed,
+           compact_flow, cfg.static_key,
+           None if mesh is None else tuple(mesh.shape.items()))
+    PROGRAM_KEYS.setdefault(key, _time.time())
     if mesh is not None:
         fn = _canvas_sharded_fn(
             mesh, cfg.static_key, tuple(canvas_hw), compact_flow, transposed,

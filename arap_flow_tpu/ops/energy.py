@@ -48,6 +48,7 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax.numpy as jnp
+import numpy as np
 
 from .stencil import DIRS, shift
 
@@ -184,12 +185,15 @@ class CompactOperands(NamedTuple):
 
     8 bytes/pixel (with a u8 RGB plane) vs the expanded form's ~64 — ~8×
     less H2D per problem.
+
+    Leaves are HOST numpy arrays until they cross a jit boundary (see
+    build_compact) so executables always see fresh default-layout uploads.
     """
 
-    mask_u8: jnp.ndarray
-    con_tgt_i16: jnp.ndarray
-    wf2: jnp.ndarray
-    wr2: jnp.ndarray
+    mask_u8: np.ndarray
+    con_tgt_i16: np.ndarray
+    wf2: np.ndarray
+    wr2: np.ndarray
 
 
 NO_CONSTRAINT = -32768  # int16 min
@@ -215,11 +219,18 @@ def build_compact(
         # CombinedSolver.h:230-239)
         tgt[0, y1, x1] = x2
         tgt[1, y1, x1] = y2
+    # HOST numpy leaves on purpose: batching code np.stack's tasks on the
+    # host and hands numpy to the jitted programs, so every jit input is a
+    # fresh host upload with default layout. Stacking per-task DEVICE arrays
+    # with eager jnp ops instead minted one utility XLA program (concatenate/
+    # broadcast_in_dim) per shape — ~105 relay compiles in a 200-pair
+    # endurance run — and re-fingerprinted the big canvas programs
+    # (duplicate compiles of identical signatures, ENDURANCE_r04).
     return CompactOperands(
-        mask_u8=jnp.asarray(arap_mask),
-        con_tgt_i16=jnp.asarray(tgt),
-        wf2=jnp.asarray(_np.float32(weights.w_fit)),
-        wr2=jnp.asarray(_np.float32(weights.w_reg)),
+        mask_u8=arap_mask,
+        con_tgt_i16=tgt,
+        wf2=_np.float32(weights.w_fit),
+        wr2=_np.float32(weights.w_reg),
     )
 
 

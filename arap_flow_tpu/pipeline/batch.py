@@ -180,7 +180,9 @@ def make_task(
         cx0=cx0,
         canvas=(ch, cw),
         ops=ops,
-        rgb=jnp.asarray(np.ascontiguousarray(sub_rgb.transpose(2, 0, 1))),
+        # host numpy: uploaded once per CHUNK by the jitted dispatch
+        # (BatchRunner._dispatch) after np.stack
+        rgb=np.ascontiguousarray(sub_rgb.transpose(2, 0, 1)),
         transposed=transposed,
     )
 
@@ -207,6 +209,17 @@ class BatchRunner:
         self.buffers: dict[tuple, list[SegmentTask]] = {}
         self.pending: list = []
         self.out: dict[tuple, DeformResult] = {}
+        # one lock per compiled-program signature: dispatches come from both
+        # the prep worker thread (add) and the main thread (flush); a cold
+        # signature's compile takes minutes through this platform's relay, so
+        # without the lock the second thread misses the not-yet-populated jit
+        # cache and compiles the SAME executable again (measured: 12
+        # duplicate multi-minute compiles in a 300-pair endurance run).
+        # Warm dispatches only pay an enqueue (~ms) under the lock.
+        import threading
+
+        self._sig_locks: dict[tuple, object] = {}
+        self._sig_mutex = threading.Lock()
 
     def _ladder(self, step: int) -> list[int]:
         # bounded batch-size ladder per bucket: at most ~8 compiled batch
@@ -219,18 +232,30 @@ class BatchRunner:
         )
 
     def _dispatch(self, key, chunk_tasks, n_real):
+        import threading
+
         from ..models.arap import solve_and_raster_canvas
 
+        sig = (key, len(chunk_tasks))
+        with self._sig_mutex:
+            lock = self._sig_locks.setdefault(sig, threading.Lock())
         with self.timer.stage("upload+stack"):
+            # HOST-side stacking: the jitted call below uploads each stacked
+            # array once, as a fresh default-layout buffer. Eager jnp.stack
+            # of per-task device arrays compiled a utility XLA program per
+            # shape through the relay and re-fingerprinted the canvas
+            # program's executable cache (see energy.build_compact).
             batched_ops = jax.tree.map(
-                lambda *ls: jnp.stack(ls), *[t.ops for t in chunk_tasks]
+                lambda *ls: np.stack(ls), *[t.ops for t in chunk_tasks]
             )
-            rgb_b = jnp.stack([t.rgb for t in chunk_tasks])
-            offs = jnp.asarray(
+            rgb_b = np.stack([t.rgb for t in chunk_tasks])
+            offs = np.asarray(
                 [(t.y0 - t.cy0, t.x0 - t.cx0) for t in chunk_tasks],
-                jnp.int32,
+                np.int32,
             )
-        with self.timer.stage("solve+raster dispatch"):
+        # the lock spans the jit CALL: a concurrent same-signature call from
+        # the other thread would re-compile the executable (see __init__)
+        with lock, self.timer.stage("solve+raster dispatch"):
             flows, wrgbs, wmasks = solve_and_raster_canvas(
                 batched_ops, rgb_b, offs, self.cfg,
                 canvas_hw=chunk_tasks[0].canvas, mesh=self.mesh,

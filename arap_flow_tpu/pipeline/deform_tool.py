@@ -147,8 +147,7 @@ def _deform_frames_batched(frames: list[FramePaths], cfg: SolverConfig,
                             read_constraint_file(fr.cstr), np.int32
                         ).reshape(-1, 4), W, H)
                     ops.append(E.build_compact(mask, cons, fw.weights))
-                    rgbs.append(jnp.asarray(
-                        np.ascontiguousarray(rgb.transpose(2, 0, 1))))
+                    rgbs.append(np.ascontiguousarray(rgb.transpose(2, 0, 1)))
                 n_real = len(ops)
                 # pad partial chunks by repeating the last frame: one compiled
                 # batch shape per frame size (a wasted duplicate solve is
@@ -156,9 +155,13 @@ def _deform_frames_batched(frames: list[FramePaths], cfg: SolverConfig,
                 while len(ops) < min(step, len(idxs)):
                     ops.append(ops[-1])
                     rgbs.append(rgbs[-1])
-                batched = jax.tree.map(lambda *ls: jnp.stack(ls), *ops)
+                # host-side stacks: one fresh default-layout upload per chunk
+                # (eager jnp.stack of device arrays mints utility programs
+                # and re-fingerprints the solve executable — see
+                # energy.build_compact)
+                batched = jax.tree.map(lambda *ls: np.stack(ls), *ops)
                 _, flows, wrgbs, wmasks = solve_and_raster_batch(
-                    batched, jnp.stack(rgbs), cfg)
+                    batched, np.stack(rgbs), cfg)
                 flows = np.asarray(flows)
                 wrgbs = np.asarray(wrgbs)
                 wmasks = np.asarray(wmasks)

@@ -44,11 +44,12 @@ from ..utils.profiling import StageTimer
 
 TIMER = StageTimer()  # populated when ARAP_PROFILE=1
 
-# (pairs_collected, loop_iteration_wall_s) per batched-loop iteration of the
-# LAST main_pipeline call — steady-state latency telemetry for endurance
-# runs (scripts/endurance.py). Iterations overlap chunks (dispatch k while
-# collecting k-1), so wall/pairs is per-pair THROUGHPUT latency, not
-# submit-to-write latency.
+# (pairs_collected, loop_iteration_wall_s, t_end_unix) per batched-loop
+# iteration of the LAST main_pipeline call — steady-state latency telemetry
+# for endurance runs (scripts/endurance.py). Iterations overlap chunks
+# (dispatch k while collecting k-1), so wall/pairs is per-pair THROUGHPUT
+# latency, not submit-to-write latency. t_end anchors compile-census events
+# to pair progress (wall fractions are meaningless across relay stalls).
 CHUNK_STATS: list = []
 
 # pairs per vmapped matcher program in batched mode (fixed so the compile
@@ -718,7 +719,7 @@ def prewarm(cfg, weights, buckets=None, batched: bool = True,
             bw, bh,
         )
         ops = E.build_compact(mask, cons, weights)
-        rgb = jnp.zeros((3, bh, bw), jnp.uint8)
+        rgb = np.zeros((3, bh, bw), np.uint8)
         # warm the solve==canvas case (small-displacement pairs hit it;
         # larger-displacement canvas combos compile on demand). Simple mode
         # (crop=True) runs the SAME canvas program at B=1 with full-frame
@@ -726,9 +727,12 @@ def prewarm(cfg, weights, buckets=None, batched: bool = True,
         # fallback (_solve_and_raster), which only rare no-bucket-fits
         # segments hit.
         B = max_chunk_for((bh, bw), 1) if batched else 1
-        b_ops = jax.tree.map(lambda l: jnp.stack([l] * B), ops)
+        # numpy stacks: must match the production dispatch's input types
+        # (batch.BatchRunner._dispatch) so the warmed executable fingerprint
+        # is the one the pipeline actually hits
+        b_ops = jax.tree.map(lambda l: np.stack([l] * B), ops)
         out = solve_and_raster_canvas(
-            b_ops, jnp.stack([rgb] * B), jnp.zeros((B, 2), jnp.int32),
+            b_ops, np.stack([rgb] * B), np.zeros((B, 2), np.int32),
             cfg, canvas_hw=(bh, bw), compact_flow=batched)
         jax.block_until_ready(out[1])
         print(f"warmup {bh}x{bw}: {time.time() - t0:.1f}s", flush=True)
@@ -890,14 +894,15 @@ def main_pipeline(
                               f"prep-wait {t2-t1:.2f}s dispatch {t3-t2:.2f}s "
                               f"collect+finish {t4-t3:.2f}s", flush=True)
                     if i > 0:
-                        CHUNK_STATS.append((len(chunks[i - 1]), t4 - t0))
+                        CHUNK_STATS.append((len(chunks[i - 1]), t4 - t0, t4))
                     inflight = disp
                 if inflight is not None:
                     t0 = time.time()
                     triples += collect_chunk_batched(
                         flags, inflight, cfg, deformer.weights, writer
                     )
-                    CHUNK_STATS.append((len(chunks[-1]), time.time() - t0))
+                    t4 = time.time()
+                    CHUNK_STATS.append((len(chunks[-1]), t4 - t0, t4))
         else:
             # pipelined simple mode: the next pair's host+matcher prep runs on
             # a worker thread while the current pair's solves occupy the
