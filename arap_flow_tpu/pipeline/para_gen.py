@@ -993,6 +993,13 @@ def parse_args(argv=None) -> PipelineFlags:
                         help="DeepMatching binary (with --matcher binary)")
     parser.add_argument("--arap_bin", default=None,
                         help="ignored (solver is built in); parity flag")
+    # Accepted no-ops: the reference parses these but never reads the parsed
+    # values either (para_gen.py:615-618 — no uses of rm_cnstr/rm_wmask/
+    # rm_tmp_cmd/img_pattern anywhere in its tree).
+    parser.add_argument("--rm-cnstr", default=None, help=argparse.SUPPRESS)
+    parser.add_argument("--rm-wmask", default=None, help=argparse.SUPPRESS)
+    parser.add_argument("--rm-tmp-cmd", default=None, help=argparse.SUPPRESS)
+    parser.add_argument("--img-pattern", default=None, help=argparse.SUPPRESS)
     parser.add_argument("--schedule", choices=["parity", "fast"],
                         default="parity")
     parser.add_argument("--mode", choices=["simple", "batched", "sharded"],

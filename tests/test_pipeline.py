@@ -233,3 +233,17 @@ def test_generate_four_phases_end_to_end(tmp_path):
     lines = G.phase_bg(flags, pairs)
     assert len(lines) == 1
     assert osp.exists(osp.join(flags.output, "all_files.list"))
+
+
+def test_cli_accepts_reference_noop_flags():
+    """The reference CLI parses --rm-cnstr/--rm-wmask/--rm-tmp-cmd/
+    --img-pattern but never reads them (para_gen.py:615-618); we accept them
+    as no-ops so reference command lines are drop-in."""
+    from arap_flow_tpu.pipeline.para_gen import parse_args
+
+    f = parse_args([
+        "--input", "/tmp/in", "--output", "/tmp/out",
+        "--rm-cnstr", "1", "--rm-wmask", "x", "--rm-tmp-cmd", "y",
+        "--img-pattern", "*.jpg", "--gpu", "0", "1",
+    ])
+    assert f.input == "/tmp/in" and f.output == "/tmp/out"
