@@ -493,7 +493,7 @@ def solve_and_raster_canvas(ops_batched, rgb_batched, offs, cfg: SolverConfig,
     # compile logs (canvas_hw/transposed/compact_flow) → first-use wallclock.
     # scripts/endurance.py checks (a) XLA compile events per program <= 1 and
     # (b) no new key appears late in a sustained run (compile-set saturation).
-    key = (tuple(ops_batched.mask_u8.shape), tuple(canvas_hw), transposed,
+    key = (tuple(_mask_shape(ops_batched)), tuple(canvas_hw), transposed,
            compact_flow, cfg.static_key,
            None if mesh is None else tuple(mesh.shape.items()))
     PROGRAM_KEYS.setdefault(key, _time.time())
