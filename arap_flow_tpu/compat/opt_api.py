@@ -17,11 +17,35 @@ arrays stand in for device pointers.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import partial
 
+import jax
 import numpy as np
 
 from ..ops import energy as E
 from ..ops import solver as S
+
+
+@jax.jit
+def _lm_init_impl(x, ops, cimg):
+    """ssq = diag(JtJ) capture + initial cost, as ONE compiled program
+    (eager jnp ops each compile separately through this platform's relay —
+    CLAUDE.md; lm_step recomputes neither)."""
+    _, ssq = E.jtf_and_diag(x, ops, cimg)
+    return ssq, E.cost(x, ops, cimg)
+
+
+@partial(jax.jit, static_argnames=("static_key",))
+def _gn_step_impl(x, ops, cimg, dyn, static_key):
+    """One GN iteration + cost as one compiled program (the Opt_ProblemStep
+    granularity for 'gaussNewtonGPU'). Static/dynamic SolverConfig split —
+    lIterations sweeps stay in one executable."""
+    import jax.numpy as jnp
+
+    cfg = S._rebuild_config(dyn, static_key)
+    x, _ = S.gn_step(x, ops, cimg, cfg, jnp.float32(cfg.pcg_iters),
+                     jnp.float32(0.0), jnp.float32(0.0))
+    return x, E.cost(x, ops, cimg)
 
 
 @dataclass
@@ -131,6 +155,16 @@ def Opt_ProblemInit(state: OptState, plan: _Plan, problem_params: list) -> None:
     plan.lm_state = None
 
 
+def _writeback(plan: _Plan, problem_params: list) -> None:
+    """Mutate the caller's bound Offset/Angle buffers in place — in the
+    reference the unknowns ARE the bound device images, updated by every
+    step (PCGLinearUpdate, solverGPUGaussNewton.t:1115)."""
+    offset, angle = problem_params[0], problem_params[1]
+    W, H = plan.dims
+    np.asarray(offset).reshape(H, W, 2)[...] = plan.state[:2].transpose(1, 2, 0)
+    np.asarray(angle).reshape(H, W)[...] = plan.state[2]
+
+
 def Opt_ProblemStep(state: OptState, plan: _Plan, problem_params: list) -> int:
     """One nonlinear iteration; returns nonzero while iterations remain
     (Opt.h / o.t:2548-2551 loop contract). Routes on the solver kind the
@@ -152,10 +186,9 @@ def Opt_ProblemStep(state: OptState, plan: _Plan, problem_params: list) -> int:
 
         cfg = L.LMConfig(pcg_iters=max(int(l_iters), 1))
         if plan.lm_state is None:
-            _, ssq = E.jtf_and_diag(x, plan.ops, cimg)
+            ssq, c0 = _lm_init_impl(x, plan.ops, cimg)
             plan.lm_state = (ssq, jnp.float32(cfg.init_radius),
-                             jnp.float32(2.0),
-                             jnp.float32(E.cost(x, plan.ops, cimg)))
+                             jnp.float32(2.0), c0)
         ssq, radius, dec, prev_cost = plan.lm_state
         x, radius, dec, cst, done = L.lm_step(
             x, plan.ops, cimg, ssq, radius, dec, prev_cost, cfg
@@ -164,6 +197,7 @@ def Opt_ProblemStep(state: OptState, plan: _Plan, problem_params: list) -> int:
         plan.cost = float(cst)
         plan.lm_state = (ssq, radius, dec, cst)
         plan.n_iter_done += 1
+        _writeback(plan, problem_params)
         if bool(done):  # function_tolerance / min-radius termination
             plan.n_iter_done = n
             return 0
@@ -171,26 +205,21 @@ def Opt_ProblemStep(state: OptState, plan: _Plan, problem_params: list) -> int:
         cfg = S.SolverConfig(
             num_anneal=1, gn_iters=1, max_pcg_iters=max(int(l_iters), 1),
             pcg_iters=l_iters,
-        )
-        x, _ = S.gn_step(x, plan.ops, cimg, cfg, jnp.float32(l_iters),
-                         jnp.float32(0.0), jnp.float32(0.0))
+        ).resolve()
+        x, cst = _gn_step_impl(x, plan.ops, cimg, cfg.dynamic, cfg.static_key)
         plan.state = np.asarray(x)
-        plan.cost = float(E.cost(x, plan.ops, cimg))
+        plan.cost = float(cst)
         plan.n_iter_done += 1
+        _writeback(plan, problem_params)
     return 1 if plan.n_iter_done < n else 0
 
 
 def Opt_ProblemSolve(state: OptState, plan: _Plan, problem_params: list) -> None:
-    """Init + step until done (OptSolver.h:72-91 uses exactly this loop)."""
+    """Init + step until done (OptSolver.h:72-91 uses exactly this loop);
+    every step writes the unknowns back into the caller's buffers."""
     Opt_ProblemInit(state, plan, problem_params)
     while Opt_ProblemStep(state, plan, problem_params):
         pass
-    # write the solution back into the caller's unknown buffers (the Opt API
-    # mutates the bound Offset/Angle images in place)
-    offset, angle = problem_params[0], problem_params[1]
-    W, H = plan.dims
-    np.asarray(offset).reshape(H, W, 2)[...] = plan.state[:2].transpose(1, 2, 0)
-    np.asarray(angle).reshape(H, W)[...] = plan.state[2]
 
 
 def Opt_ProblemCurrentCost(state: OptState, plan: _Plan) -> float:

@@ -430,6 +430,19 @@ def _batch_kernel_fits(ops_batched) -> bool:
     return _BATCH_KERNEL_PLANES * B * H * W * 4 <= _BATCH_KERNEL_VMEM
 
 
+def batch_kernel_route(shape, cfg: SolverConfig) -> bool:
+    """Single source of truth for routing a (local) batch of the given
+    (B, H, W) shape to the multi-problem resident kernel. cfg must be
+    resolved and concrete (the tolerance gates call float())."""
+    B, H, W = shape
+    return (
+        cfg.backend == "pallas"
+        and float(cfg.q_tolerance) == 0.0
+        and float(cfg.rz_tolerance) == 0.0
+        and _BATCH_KERNEL_PLANES * B * H * W * 4 <= _BATCH_KERNEL_VMEM
+    )
+
+
 def solve_batch(ops: ArapOperands, cfg: SolverConfig):
     """Batched solve over the leading axis of every operand leaf; returns
     (states (B,3,H,W), flows (B,2,H,W)). Replaces the reference's one-CUDA-
@@ -438,12 +451,7 @@ def solve_batch(ops: ArapOperands, cfg: SolverConfig):
     NOTE: the multi-problem kernel path assumes all batch entries share the
     same energy weights (bucket batches built by pipeline/batch.py do)."""
     cfg = _resolve_for(ops, cfg)
-    if (
-        cfg.backend == "pallas"
-        and float(cfg.q_tolerance) == 0.0
-        and float(cfg.rz_tolerance) == 0.0
-        and _batch_kernel_fits(ops)
-    ):
+    if batch_kernel_route(ops.mask.shape, cfg):
         from .pallas_pcg import tall_kernel_enabled
 
         xs, flows, _ = _solve_batch_kernel_impl(

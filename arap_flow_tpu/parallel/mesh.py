@@ -45,18 +45,28 @@ def shard_batch(ops_batched, mesh: Mesh):
 
 
 @lru_cache(maxsize=None)
-def _solve_batch_sharded_fn(mesh: Mesh, cfg: S.SolverConfig):
-    """Cached jit(shard_map(solve_batch)) — a fresh shard_map per call would
-    recompile every time."""
-    from jax.sharding import PartitionSpec as P
+def _solve_batch_sharded_fn(mesh: Mesh, static_key, use_kernel: bool,
+                            tall: bool):
+    """Cached jit(shard_map(...)) keyed on (mesh, static_key, route) ONLY —
+    the dynamic SolverConfig floats stay a replicated traced argument so
+    schedule sweeps don't recompile (the tested split invariant; same design
+    as models.arap._canvas_sharded_fn)."""
+    import jax.numpy as jnp
 
     spec = P("data")
 
-    def fn(ops):
-        return S.solve_batch(ops, cfg)
+    def fn(ops, dyn):
+        if use_kernel:
+            xs, flows, _ = S._solve_batch_kernel_impl(
+                ops, dyn, static_key, tall=tall,
+                interpret=S.pallas_interpret(),
+            )
+        else:
+            xs, flows, _ = S._solve_batch_impl(ops, dyn, static_key)
+        return xs, flows
 
     return jax.jit(jax.shard_map(
-        fn, mesh=mesh, in_specs=(spec,), out_specs=(spec, spec),
+        fn, mesh=mesh, in_specs=(spec, P()), out_specs=(spec, spec),
         check_vma=False,
     ))
 
@@ -68,6 +78,20 @@ def solve_batch_sharded(ops_batched, cfg: S.SolverConfig, mesh: Mesh):
     cannot split), with zero collectives (each chip owns whole problems).
     Batch size must be divisible by the data-axis size.
     """
-    return _solve_batch_sharded_fn(mesh, cfg.resolve())(
-        shard_batch(ops_batched, mesh)
-    )
+    import jax.numpy as jnp
+
+    cfg = S._resolve_for(ops_batched, cfg)
+    B, H, W = ops_batched.mask.shape
+    # route on the LOCAL per-device batch shape — the kernel-VMEM gate each
+    # device would apply to its own shard (matches solve_batch's routing)
+    local = (max(B // mesh.shape["data"], 1), H, W)
+    use_kernel = S.batch_kernel_route(local, cfg)
+    if use_kernel:
+        from ..ops.pallas_pcg import tall_kernel_enabled
+
+        tall = tall_kernel_enabled()
+    else:
+        tall = False
+    fn = _solve_batch_sharded_fn(mesh, cfg.static_key, use_kernel, tall)
+    dyn = jax.tree.map(jnp.float32, cfg.dynamic)
+    return fn(shard_batch(ops_batched, mesh), dyn)

@@ -29,6 +29,18 @@ from ..ops.solver import SolverConfig
 # bucket shapes (H, W): lane-friendly widths, covering typical DAVIS segments
 from ..models.arap import CROP_BUCKETS as DEFAULT_BUCKETS
 
+# one lock per compiled-program signature, PROCESS-WIDE (runner instances are
+# per-chunk, so instance-level locks would never see each other): a cold
+# signature's compile takes minutes through this platform's relay, and a
+# concurrent same-signature dispatch from another thread misses the
+# not-yet-populated jit cache and compiles the SAME executable again
+# (measured: 12 duplicate multi-minute compiles in a 300-pair endurance run).
+# Warm dispatches only pay an enqueue (~ms) under the lock.
+import threading as _threading
+
+_SIG_LOCKS: dict[tuple, _threading.Lock] = {}
+_SIG_MUTEX = _threading.Lock()
+
 # --warmup subset: the full ladder is wide (31 shapes — tight fits are worth
 # ~15-30% solve area); precompiling all of it would cost 30+ cold compiles,
 # so prewarm covers the historically common mid-size shapes and the rest
@@ -209,17 +221,6 @@ class BatchRunner:
         self.buffers: dict[tuple, list[SegmentTask]] = {}
         self.pending: list = []
         self.out: dict[tuple, DeformResult] = {}
-        # one lock per compiled-program signature: dispatches come from both
-        # the prep worker thread (add) and the main thread (flush); a cold
-        # signature's compile takes minutes through this platform's relay, so
-        # without the lock the second thread misses the not-yet-populated jit
-        # cache and compiles the SAME executable again (measured: 12
-        # duplicate multi-minute compiles in a 300-pair endurance run).
-        # Warm dispatches only pay an enqueue (~ms) under the lock.
-        import threading
-
-        self._sig_locks: dict[tuple, object] = {}
-        self._sig_mutex = threading.Lock()
 
     def _ladder(self, step: int) -> list[int]:
         # bounded batch-size ladder per bucket: at most ~8 compiled batch
@@ -232,13 +233,14 @@ class BatchRunner:
         )
 
     def _dispatch(self, key, chunk_tasks, n_real):
-        import threading
-
         from ..models.arap import solve_and_raster_canvas
 
-        sig = (key, len(chunk_tasks))
-        with self._sig_mutex:
-            lock = self._sig_locks.setdefault(sig, threading.Lock())
+        # include everything that keys a distinct executable: mesh shape
+        # participates via _canvas_sharded_fn, cfg via static_key
+        sig = (key, len(chunk_tasks), self.n_data,
+               self.cfg.resolve().static_key)
+        with _SIG_MUTEX:
+            lock = _SIG_LOCKS.setdefault(sig, _threading.Lock())
         with self.timer.stage("upload+stack"):
             # HOST-side stacking: the jitted call below uploads each stacked
             # array once, as a fresh default-layout buffer. Eager jnp.stack
@@ -394,7 +396,9 @@ def run_tasks(
     theirs via make_task).
     `timer` (optional StageTimer) records a per-stage breakdown: upload,
     device dispatch, D2H fetch (which on this platform also absorbs the wait
-    for device completion), and host paste.
+    for device completion), and host paste. NOTE: pastes run in a worker
+    thread concurrent with the main thread's fetch stage (see collect), so
+    stage sums can exceed wall time — 'host paste' is overlapped, not serial.
     `mesh`: optional jax Mesh — bucket batches are sharded over its 'data'
     axis (--mode sharded; the reference's multi-GPU farm, para_gen.py:560-567)
     and chunks are sized/padded to a multiple of the axis size.

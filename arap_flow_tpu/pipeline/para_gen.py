@@ -694,13 +694,15 @@ def process_chunk_batched(
 
 def prewarm(cfg, weights, buckets=None, batched: bool = True,
             frame_shape: tuple | None = None,
-            match_downscale: int = 1) -> None:
+            match_downscale: int = 1, mesh=None) -> None:
     """Compile the standard bucket solver programs on dummy problems before
     the first real pair arrives (--warmup). One-time XLA/Mosaic compiles cost
     40-300 s each on cold caches; prewarming moves them ahead of the
     pipeline's timed/streamed phase. Covers the batched kernel at each
     bucket's standard chunk size (batched/sharded mode) or the per-problem
-    program (simple mode)."""
+    program (simple mode). `mesh` (--mode sharded) warms the jit(shard_map)
+    executable the sharded dispatch actually runs — a DIFFERENT top-level
+    program from the unsharded impl — at the sharded chunk size."""
     import jax
     import jax.numpy as jnp
 
@@ -726,14 +728,15 @@ def prewarm(cfg, weights, buckets=None, batched: bool = True,
         # flow output — warm that exact signature, not the full-frame
         # fallback (_solve_and_raster), which only rare no-bucket-fits
         # segments hit.
-        B = max_chunk_for((bh, bw), 1) if batched else 1
+        n_data = 1 if mesh is None else mesh.shape["data"]
+        B = max_chunk_for((bh, bw), n_data) if batched else 1
         # numpy stacks: must match the production dispatch's input types
         # (batch.BatchRunner._dispatch) so the warmed executable fingerprint
         # is the one the pipeline actually hits
         b_ops = jax.tree.map(lambda l: np.stack([l] * B), ops)
         out = solve_and_raster_canvas(
             b_ops, np.stack([rgb] * B), np.zeros((B, 2), np.int32),
-            cfg, canvas_hw=(bh, bw), compact_flow=batched)
+            cfg, canvas_hw=(bh, bw), compact_flow=batched, mesh=mesh)
         jax.block_until_ready(out[1])
         print(f"warmup {bh}x{bw}: {time.time() - t0:.1f}s", flush=True)
     if frame_shape is not None:
@@ -799,6 +802,12 @@ def main_pipeline(
 
     pairs = scan_pairs(flags)
     print(f"{len(pairs)} frame pairs to process")
+    mesh = None
+    if flags.mode == "sharded":
+        from ..parallel import make_mesh
+
+        mesh = make_mesh()  # all visible devices on the 'data' axis
+        print(f"sharded over {mesh.shape['data']} devices")
     if flags.warmup and pairs:
         # --size is (w, h); the matcher program compiles only when the frame
         # shape is known up front
@@ -806,7 +815,7 @@ def main_pipeline(
         prewarm(deformer.cfg, deformer.weights,
                 batched=flags.mode in ("batched", "sharded"),
                 frame_shape=fshape,
-                match_downscale=flags.match_downscale)
+                match_downscale=flags.match_downscale, mesh=mesh)
     triples = []
     begin = time.time()
 
@@ -821,12 +830,6 @@ def main_pipeline(
 
     try:
         if flags.mode in ("batched", "sharded"):
-            mesh = None
-            if flags.mode == "sharded":
-                from ..parallel import make_mesh
-
-                mesh = make_mesh()  # all visible devices on the 'data' axis
-                print(f"sharded over {mesh.shape['data']} devices")
             cfg = deformer.cfg
             chunk = max(flags.narap, 1) * 2
             if mesh is not None:

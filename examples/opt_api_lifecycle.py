@@ -77,12 +77,14 @@ def main():
         cons[cy, cx] = src + alpha * (dst - src)
 
         params = [offset, angle, urshape, cons, mask, w_fit_sqrt, w_reg_sqrt]
+        # manual Init/Step loop (what Opt_ProblemSolve runs internally —
+        # OptUtils.h:47-64 profiled solves use exactly this form); each step
+        # mutates the bound offset/angle buffers in place
         opt.Opt_ProblemInit(state, plan, params)
         steps = 0
         while opt.Opt_ProblemStep(state, plan, params):
             steps += 1
         cost = opt.Opt_ProblemCurrentCost(state, plan)
-        opt.Opt_ProblemSolve(state, plan, params)  # writes unknowns back
         print(f"outer {i + 1}/{a.num_iter}: alpha={alpha:.2f} "
               f"steps={steps + 1} cost={cost:.5f}")
 

@@ -118,6 +118,13 @@ def _run_lifecycle(solver_kind, H=12, W=16, n_iter=4, l_iter=60):
         if not more:
             break
     result = np.asarray(plan.state)
+    # Opt semantics: the unknowns ARE the bound buffers — every ProblemStep
+    # must have written offset/angle back in place (PCGLinearUpdate mutates
+    # the bound device images, solverGPUGaussNewton.t:1115), so the manual
+    # Init/Step loop needs no extra ProblemSolve to read results
+    np.testing.assert_array_equal(
+        params[0], result[:2].transpose(1, 2, 0))
+    np.testing.assert_array_equal(params[1], result[2])
     opt.Opt_PlanFree(state, plan)
     opt.Opt_ProblemDelete(state, prob)
     return result, costs

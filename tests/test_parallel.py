@@ -110,3 +110,28 @@ def test_data_parallel_pallas_kernel_matches_single():
     # and the kernel path was actually eligible (guards the routing gate)
     from arap_flow_tpu.ops.solver import _batch_kernel_fits
     assert _batch_kernel_fits(batched)
+
+
+def test_sharded_schedule_sweep_no_recompile():
+    """The dynamic SolverConfig floats must stay TRACED arguments of the
+    sharded executable: sweeping pcg_iters/q_tolerance must reuse one
+    compiled program (the static/dynamic split invariant — a recompile is
+    minutes through the TPU relay)."""
+    from arap_flow_tpu.parallel.mesh import _solve_batch_sharded_fn
+
+    probs = [_problem(24, 32, s) for s in range(8)]
+    batched = _batch(probs)
+    mesh = make_mesh(data=8, space=1)
+    _solve_batch_sharded_fn.cache_clear()
+    for iters in (20.0, 30.0, 40.0):
+        cfg = S.SolverConfig(num_anneal=2, gn_iters=2, pcg_iters=iters)
+        xs, flows = solve_batch_sharded(batched, cfg, mesh)
+    info = _solve_batch_sharded_fn.cache_info()
+    assert info.currsize == 1, f"one executable expected, got {info}"
+    assert info.hits == 2, f"sweep should reuse the cached fn, got {info}"
+    # deeper schedule must actually change the answer (dyn really is wired)
+    cfg_a = S.SolverConfig(num_anneal=2, gn_iters=2, pcg_iters=2.0)
+    cfg_b = S.SolverConfig(num_anneal=2, gn_iters=2, pcg_iters=40.0)
+    xa, _ = solve_batch_sharded(batched, cfg_a, mesh)
+    xb, _ = solve_batch_sharded(batched, cfg_b, mesh)
+    assert not np.allclose(np.asarray(xa), np.asarray(xb))

@@ -161,6 +161,30 @@ def test_prewarm_compiles_bucket_programs():
     prewarm(cfg, ArapWeights(), buckets=((32, 64),), batched=False)
 
 
+def test_prewarm_sharded_warms_the_sharded_executable():
+    """--mode sharded --warmup must warm the jit(shard_map) program the
+    sharded dispatch runs (a different top-level executable from the
+    unsharded impl), at the sharded chunk size."""
+    import jax
+
+    from arap_flow_tpu.models.arap import _canvas_sharded_fn
+    from arap_flow_tpu.ops.energy import ArapWeights
+    from arap_flow_tpu.pipeline.para_gen import prewarm
+
+    if len(jax.devices()) < 8:
+        import pytest
+
+        pytest.skip("needs the virtual multi-device mesh")
+    from arap_flow_tpu.parallel import make_mesh
+
+    cfg = SolverConfig(num_anneal=1, gn_iters=1, max_pcg_iters=4,
+                       pcg_iters=4.0)
+    mesh = make_mesh(data=8, space=1)
+    before = _canvas_sharded_fn.cache_info().currsize
+    prewarm(cfg, ArapWeights(), buckets=((32, 64),), batched=True, mesh=mesh)
+    assert _canvas_sharded_fn.cache_info().currsize > before
+
+
 def test_scan_shard_partitions_pairs(tmp_path):
     """--shard I/N: hosts partition the sorted pair scan disjointly and
     completely (multi-host dataset sharding, SURVEY §2.7)."""
