@@ -259,7 +259,8 @@ class ArapDeformer:
             cons = add_border_pins(cons, W, H)
 
         if self.crop:
-            res = self._deform_cropped(rgb, arap_mask, cons)
+            res = self._deform_cropped(rgb, arap_mask, cons,
+                                       fetch_raster=self.raster != "host")
             if self.raster == "host":
                 res = self._host_raster(res, rgb, arap_mask)
             return res
@@ -267,15 +268,23 @@ class ArapDeformer:
         ops = E.build_compact(np.asarray(arap_mask), cons, self.weights)
         rgb_u8 = jnp.asarray(np.ascontiguousarray(rgb.transpose(2, 0, 1)))
         x, flow, wrgb, wmask = _solve_and_raster(ops, rgb_u8, self.cfg)
-        res = DeformResult(
-            flow=np.asarray(flow).transpose(1, 2, 0),
+        flow_np = np.asarray(flow).transpose(1, 2, 0)
+        state = np.asarray(x) if self.keep_state else None
+        if self.raster == "host":
+            # host re-rasters from the flow — leave the device wrgb/wmask
+            # UNFETCHED (each deform otherwise pays ~1.6 MB over the
+            # ~25 MB/s tunnel for products it immediately discards)
+            return self._host_raster(
+                DeformResult(flow=flow_np, warped_rgb=None, warped_mask=None,
+                             state=state),
+                rgb, arap_mask,
+            )
+        return DeformResult(
+            flow=flow_np,
             warped_rgb=np.asarray(wrgb).transpose(1, 2, 0).astype(np.uint8),
             warped_mask=np.asarray(wmask).astype(np.uint8),
-            state=np.asarray(x) if self.keep_state else None,
+            state=state,
         )
-        if self.raster == "host":
-            res = self._host_raster(res, rgb, arap_mask)
-        return res
 
     @staticmethod
     def _host_raster(res: DeformResult, rgb, arap_mask) -> DeformResult:
@@ -293,12 +302,14 @@ class ArapDeformer:
         return DeformResult(flow=res.flow, warped_rgb=wrgb, warped_mask=wmask,
                             state=res.state)
 
-    def _deform_cropped(self, rgb, arap_mask, cons) -> DeformResult:
+    def _deform_cropped(self, rgb, arap_mask, cons,
+                        fetch_raster: bool = True) -> DeformResult:
         """Solve on the object's TIGHT bucket and rasterize on the padded
         canvas bucket (same decoupled path as the batched pipeline — the
         deep PCG kernel never pays for the displacement landing margins;
         exactness: docs/PARITY.md lemmas), pasting products back into
-        full-frame canvases."""
+        full-frame canvases. `fetch_raster=False` (host-raster callers)
+        skips the device wrgb/wmask D2H — the caller re-rasters from flow."""
         from ..pipeline.batch import make_task
 
         H, W = arap_mask.shape[:2]
@@ -311,8 +322,14 @@ class ArapDeformer:
             _, flow, wrgb, wmask = _solve_and_raster(ops, rgb_u8, self.cfg)
             return DeformResult(
                 flow=np.asarray(flow).transpose(1, 2, 0),
-                warped_rgb=np.asarray(wrgb).transpose(1, 2, 0).astype(np.uint8),
-                warped_mask=np.asarray(wmask).astype(np.uint8),
+                warped_rgb=(
+                    np.asarray(wrgb).transpose(1, 2, 0).astype(np.uint8)
+                    if fetch_raster else None
+                ),
+                warped_mask=(
+                    np.asarray(wmask).astype(np.uint8) if fetch_raster
+                    else None
+                ),
             )
         offs = np.asarray([[t.y0 - t.cy0, t.x0 - t.cx0]], np.int32)
         b_ops = jax.tree.map(lambda l: np.asarray(l)[None], t.ops)
@@ -326,6 +343,9 @@ class ArapDeformer:
         full_flow[t.y0 : t.y0 + bh, t.x0 : t.x0 + bw] = (
             np.asarray(flows[0]).transpose(1, 2, 0)
         )
+        if not fetch_raster:
+            return DeformResult(flow=full_flow, warped_rgb=None,
+                                warped_mask=None, state=None)
         full_rgb = np.zeros((H, W, 3), np.uint8)
         full_rgb[t.cy0 : t.cy0 + ch, t.cx0 : t.cx0 + cw] = (
             np.asarray(wrgbs[0]).transpose(1, 2, 0).astype(np.uint8)

@@ -452,6 +452,18 @@ def _pyramid_flow_impl(
                 ((0, 0), (0, H - uv.shape[-2]), (0, W - uv.shape[-1])),
                 mode="edge",
             )
+        if refine_passes == 0:
+            # no refine search will overwrite `score` at this level — carry
+            # the coarse NCC confidence up alongside the flow, or the return
+            # pair is shape-inconsistent (full-res uv, coarse score) and
+            # consumers like _device_grid_select mis-index it
+            score = jnp.repeat(jnp.repeat(score, 2, -2), 2, -1)[:H, :W]
+            if score.shape != (H, W):
+                score = jnp.pad(
+                    score,
+                    ((0, H - score.shape[0]), (0, W - score.shape[1])),
+                    mode="edge",
+                )
         gx, gy = _grid(H, W)
         # iterated warp-and-search: when the upsampled estimate is off by
         # more than refine_radius (large non-rigid deformation), each pass

@@ -161,6 +161,12 @@ def rasterize(
     """
     H, W = arap_mask.shape
     if window is None:
+        if anchor is not None:
+            raise ValueError(
+                "anchor only parameterizes an explicit `window` rect; "
+                "without `window` the calibrated dual-seed rects are used "
+                "and anchor would be silently ignored"
+            )
         max_rect = _MAX_RECT_DEFAULT
         if min_rect == "default":
             min_rect = _MIN_RECT_DEFAULT

@@ -425,21 +425,25 @@ _BATCH_KERNEL_PLANES = 36
 _BATCH_KERNEL_VMEM = 100 * 1024 * 1024
 
 
-def _batch_kernel_fits(ops_batched) -> bool:
-    B, H, W = ops_batched.mask.shape
+def _batch_kernel_shape_fits(shape) -> bool:
+    """The one VMEM-fit inequality for a (B, H, W) batch."""
+    B, H, W = shape
     return _BATCH_KERNEL_PLANES * B * H * W * 4 <= _BATCH_KERNEL_VMEM
+
+
+def _batch_kernel_fits(ops_batched) -> bool:
+    return _batch_kernel_shape_fits(ops_batched.mask.shape)
 
 
 def batch_kernel_route(shape, cfg: SolverConfig) -> bool:
     """Single source of truth for routing a (local) batch of the given
     (B, H, W) shape to the multi-problem resident kernel. cfg must be
     resolved and concrete (the tolerance gates call float())."""
-    B, H, W = shape
     return (
         cfg.backend == "pallas"
         and float(cfg.q_tolerance) == 0.0
         and float(cfg.rz_tolerance) == 0.0
-        and _BATCH_KERNEL_PLANES * B * H * W * 4 <= _BATCH_KERNEL_VMEM
+        and _batch_kernel_shape_fits(shape)
     )
 
 

@@ -869,9 +869,11 @@ def main_pipeline(
                                     deformer.weights, bgpool)
                 inflight = None  # dispatched-runner state of chunk k-1
                 prof = os.environ.get("ARAP_PROFILE")
+                pairs_started = 0  # chunks are non-uniform (ramp-up first)
                 for i, ch in enumerate(chunks):
-                    print(f"{100.0 * i * chunk / max(len(pairs), 1):.3f}%",
+                    print(f"{100.0 * pairs_started / max(len(pairs), 1):.3f}%",
                           flush=True)
+                    pairs_started += len(ch)
                     t0 = time.time()
                     if i + 1 < len(chunks):
                         ha_next = prep_chunk_dispatch_match(

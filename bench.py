@@ -151,7 +151,13 @@ def main():
         for name in timer.totals
     }
 
-    e2e = _e2e_measure()
+    # The e2e arm runs a full pipeline (matcher compiles, tmp-tree IO); if it
+    # fails, still emit the already-measured solve-arm headline rather than
+    # discarding the whole run.
+    try:
+        e2e = _e2e_measure()
+    except Exception as exc:  # noqa: BLE001 — any e2e failure is non-fatal
+        e2e = {"e2e_error": f"{type(exc).__name__}: {exc}"}
 
     print(
         json.dumps(

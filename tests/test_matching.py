@@ -363,3 +363,32 @@ def test_subpatch_budget_fallback_equals_rigid():
     du_r, dv_r, _ = M._search(zz[0], zz[1], r, patch)
     assert np.array_equal(np.asarray(du_f), np.asarray(du_r))
     assert np.array_equal(np.asarray(dv_f), np.asarray(dv_r))
+
+
+def test_refine_passes_zero_score_shape():
+    """refine_passes=0 is a legal static ablation arg (used by the matcher
+    cost probes): no refine search ever overwrites `score`, so the pyramid
+    must upsample the coarse NCC confidence alongside the flow — previously
+    score stayed coarse-shaped and _device_grid_select mis-indexed it."""
+    import jax.numpy as jnp
+
+    from arap_flow_tpu.ops.matching import match_grid, pyramid_flow
+
+    H, W = 72, 104
+    im1 = _texture(H, W, seed=5)
+    im2 = np.roll(im1, (3, -2), axis=(0, 1))
+    g1 = jnp.asarray(im1[:, :, 0], jnp.float32)
+    g2 = jnp.asarray(im2[:, :, 0], jnp.float32)
+    uv, score = pyramid_flow(g1, g2, radius=16, levels=2, refine_passes=0)
+    assert uv.shape == (2, H, W)
+    assert score.shape == (H, W)
+
+    r1 = jnp.asarray(im1.transpose(2, 0, 1))
+    r2 = jnp.asarray(im2.transpose(2, 0, 1))
+    u, v, sg, fb = match_grid(r1, r2, stride=4, radius=16, levels=2,
+                              refine_passes=0)
+    assert u.shape == sg.shape == fb.shape
+    # the coarse-only estimate is quantized to the coarse-level quantum
+    # (2**levels = 4 px) — just check it lands within one quantum
+    assert abs(float(jnp.median(u)) - (-2)) <= 4.0
+    assert abs(float(jnp.median(v)) - 3) <= 4.0

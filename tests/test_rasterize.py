@@ -108,3 +108,19 @@ def test_rasterize_flow_identity():
     # interior pixels (quads exist up to H-1, W-1)
     assert (dmask[: H - 1, : W - 1] == 255).all()
     np.testing.assert_array_equal(drgb[: H - 1, : W - 1], rgb[: H - 1, : W - 1])
+
+
+def test_anchor_without_window_rejected():
+    """`anchor` only parameterizes an explicit window rect; passing it with
+    the default dual-seed config used to be silently ignored."""
+    import jax.numpy as jnp
+    import pytest
+
+    from arap_flow_tpu.ops.rasterize import rasterize
+
+    H, W = 8, 8
+    warp = jnp.zeros((2, H, W), jnp.float32)
+    rgb = jnp.zeros((3, H, W), jnp.float32)
+    mask = jnp.zeros((H, W), jnp.float32)
+    with pytest.raises(ValueError, match="anchor"):
+        rasterize(warp, rgb, mask, anchor=2)
