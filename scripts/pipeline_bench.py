@@ -101,6 +101,7 @@ def main():
         flags = PipelineFlags(
             input=osp.join(root, "data"), output=out, fd=1, multseg=True,
             seed=0, mode=mode, match_downscale=ds,
+            narap=int(os.environ.get("ARAP_BENCH_NARAP", "2")),
         )
         t0 = time.time()
         triples = main_pipeline(flags)
