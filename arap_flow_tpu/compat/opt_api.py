@@ -161,8 +161,25 @@ def _writeback(plan: _Plan, problem_params: list) -> None:
     step (PCGLinearUpdate, solverGPUGaussNewton.t:1115)."""
     offset, angle = problem_params[0], problem_params[1]
     W, H = plan.dims
-    np.asarray(offset).reshape(H, W, 2)[...] = plan.state[:2].transpose(1, 2, 0)
-    np.asarray(angle).reshape(H, W)[...] = plan.state[2]
+    views = []
+    for name, buf in (("Offset", offset), ("Angle", angle)):
+        arr = np.asarray(buf)
+        # np.asarray must have given us the caller's memory (the ndarray
+        # itself, or a view over a buffer-protocol object) — a silent copy
+        # (e.g. a Python list or a jax array was bound) would make every
+        # step a no-op from the caller's point of view
+        if ((arr is not buf and arr.base is None) or not arr.flags.writeable
+                or not arr.flags.c_contiguous):  # reshape below must be a view
+            raise TypeError(
+                f"{name} binding must be a writable numpy buffer (got "
+                f"{type(buf).__name__}): the Opt API updates the bound "
+                "unknowns in place every step (PCGLinearUpdate, "
+                "solverGPUGaussNewton.t:1115) — bind numpy arrays for "
+                "slots 0-1"
+            )
+        views.append(arr)
+    views[0].reshape(H, W, 2)[...] = plan.state[:2].transpose(1, 2, 0)
+    views[1].reshape(H, W)[...] = plan.state[2]
 
 
 def Opt_ProblemStep(state: OptState, plan: _Plan, problem_params: list) -> int:
@@ -181,17 +198,25 @@ def Opt_ProblemStep(state: OptState, plan: _Plan, problem_params: list) -> int:
     l_iters = float(plan.solver_params.get("lIterations", 10))
     x = jnp.asarray(plan.state)
     cimg = plan.ops.con_tgt
+    # static-cap / traced-budget split (solver.py SolverConfig contract):
+    # the compiled programs key on a FIXED cap (400 = the reference app's
+    # lIterations, main.cpp:215-221; bumped only for larger requests), while
+    # the actual lIterations budget is a traced float — SetSolverParameter
+    # sweeps of lIterations reuse one executable instead of recompiling
+    # (40-230 s/program through this platform's relay).
+    cap = 400 if l_iters <= 400 else int(np.ceil(l_iters))
     if plan.problem.name == "LMGPU":
         from ..ops import lm as L
 
-        cfg = L.LMConfig(pcg_iters=max(int(l_iters), 1))
+        cfg = L.LMConfig(pcg_iters=cap)
         if plan.lm_state is None:
             ssq, c0 = _lm_init_impl(x, plan.ops, cimg)
             plan.lm_state = (ssq, jnp.float32(cfg.init_radius),
                              jnp.float32(2.0), c0)
         ssq, radius, dec, prev_cost = plan.lm_state
         x, radius, dec, cst, done = L.lm_step(
-            x, plan.ops, cimg, ssq, radius, dec, prev_cost, cfg
+            x, plan.ops, cimg, ssq, radius, dec, prev_cost, cfg,
+            pcg_budget=jnp.float32(max(l_iters, 1.0)),
         )
         plan.state = np.asarray(x)
         plan.cost = float(cst)
@@ -203,8 +228,8 @@ def Opt_ProblemStep(state: OptState, plan: _Plan, problem_params: list) -> int:
             return 0
     else:
         cfg = S.SolverConfig(
-            num_anneal=1, gn_iters=1, max_pcg_iters=max(int(l_iters), 1),
-            pcg_iters=l_iters,
+            num_anneal=1, gn_iters=1, max_pcg_iters=cap,
+            pcg_iters=max(l_iters, 1.0),
         ).resolve()
         x, cst = _gn_step_impl(x, plan.ops, cimg, cfg.dynamic, cfg.static_key)
         plan.state = np.asarray(x)

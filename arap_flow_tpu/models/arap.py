@@ -474,16 +474,9 @@ def _solve_and_raster_canvas_impl(ops, rgb, offs, dyn, static_key, canvas_hw,
 
 @lru_cache(maxsize=None)
 def _canvas_sharded_fn(mesh, static_key, canvas_hw, compact_flow, transposed):
-    """jit(shard_map(...)) wrapper for the canvas impl over the mesh's 'data'
-    axis. shard_map — not GSPMD auto-partitioning — is load-bearing: the
-    batched program contains pallas_calls (custom calls the SPMD partitioner
-    cannot split), so each device must trace its own LOCAL-batch kernel.
-    Zero collectives inside (each device owns whole problems — the reference
-    farm semantics, para_gen.py:560-567). dyn stays a replicated traced arg
-    so schedule sweeps don't recompile."""
-    from jax.sharding import PartitionSpec as P
-
-    spec = P("data")
+    """Cached data_sharded_jit (parallel/mesh.py — shard_map over 'data',
+    replicated traced dyn) for the canvas impl."""
+    from ..parallel.mesh import data_sharded_jit
 
     def fn(ops, rgb, offs, dyn):
         return _solve_and_raster_canvas_impl(
@@ -491,10 +484,7 @@ def _canvas_sharded_fn(mesh, static_key, canvas_hw, compact_flow, transposed):
             compact_flow=compact_flow, transposed=transposed,
         )
 
-    return jax.jit(jax.shard_map(
-        fn, mesh=mesh, in_specs=(spec, spec, spec, P()),
-        out_specs=(spec, spec, spec), check_vma=False,
-    ))
+    return data_sharded_jit(mesh, fn, n_sharded_in=3, n_out=3)
 
 
 def solve_and_raster_canvas(ops_batched, rgb_batched, offs, cfg: SolverConfig,
@@ -558,18 +548,12 @@ def solve_and_raster_batch(ops_batched, rgb_batched, cfg: SolverConfig,
 
 @lru_cache(maxsize=None)
 def _batch_sharded_fn(mesh, static_key, compact_flow):
-    """jit(shard_map(...)) for solve_and_raster_batch — see _canvas_sharded_fn
-    for why shard_map (not GSPMD auto-partitioning) is required here."""
-    from jax.sharding import PartitionSpec as P
-
-    spec = P("data")
+    """Cached data_sharded_jit (parallel/mesh.py) for solve_and_raster_batch."""
+    from ..parallel.mesh import data_sharded_jit
 
     def fn(ops, rgb, dyn):
         return _solve_and_raster_batch_impl(
             ops, rgb, dyn, static_key, compact_flow=compact_flow,
         )
 
-    return jax.jit(jax.shard_map(
-        fn, mesh=mesh, in_specs=(spec, spec, P()),
-        out_specs=(spec, spec, spec, spec), check_vma=False,
-    ))
+    return data_sharded_jit(mesh, fn, n_sharded_in=2, n_out=4)

@@ -89,18 +89,27 @@ def _damped_apply(p, ops, s, c, ctc):
     return apply_jtj(p, ops, s, c) + ctc * p
 
 
-def _pcg_damped(ops, s, c, jtf, ctc, pre, cfg: LMConfig):
+def _pcg_damped(ops, s, c, jtf, ctc, pre, cfg: LMConfig, budget=None):
     """PCG on the damped system with the reference's residual-drift reset
-    every residual_reset_period inner iterations."""
+    every residual_reset_period inner iterations.
+
+    `budget` (optional, traced f32): iteration budget under the static
+    cfg.pcg_iters cap — the same static-cap/traced-budget split as
+    solver.gn_step, so lIterations sweeps through the Opt facade do not
+    recompile. None keeps the cap as a compile-time constant (identical
+    program to before the split)."""
     b = -jtf
     r0 = b
     z0 = pre * r0
     rz0 = _dot(r0, z0)
     period = jnp.float32(cfg.residual_reset_period)
+    limit = jnp.float32(cfg.pcg_iters)
+    if budget is not None:
+        limit = jnp.minimum(limit, jnp.float32(budget))
 
     def cond(st):
         i, _, _, _, rz, _, conv = st
-        return jnp.logical_and(i < cfg.pcg_iters, jnp.logical_not(conv))
+        return jnp.logical_and(i < limit, jnp.logical_not(conv))
 
     def body(st):
         i, delta, r, p, rz, q_prev, _ = st
@@ -133,14 +142,15 @@ def _pcg_damped(ops, s, c, jtf, ctc, pre, cfg: LMConfig):
     return st[1]
 
 
-def _lm_step_impl(x, ops, cimg, ssq, radius, dec, prev_cost, cfg: LMConfig):
+def _lm_step_impl(x, ops, cimg, ssq, radius, dec, prev_cost, cfg: LMConfig,
+                  pcg_budget=None):
     """One LM outer (trust-region) iteration at fixed constraints — the
     step() granularity of solverGPUGaussNewton.t:1016-1177. Returns
     (x, radius, dec, cost, done)."""
     s, c = trig(x)
     g, diag = jtf_and_diag(x, ops, cimg)
     ctc, pre = _finalize_diagonal(diag, ssq, radius, cfg)
-    delta = _pcg_damped(ops, s, c, g, ctc, pre, cfg)
+    delta = _pcg_damped(ops, s, c, g, ctc, pre, cfg, budget=pcg_budget)
     # model cost change vs the UNDAMPED linearized model (o.t:2174-2202):
     # prevCost − ½Σ(F+Jδ)² = −(δ·JtF + ½ δ·JtJδ)
     model_change = -(_dot(delta, g)
@@ -174,13 +184,16 @@ def _lm_step_impl(x, ops, cimg, ssq, radius, dec, prev_cost, cfg: LMConfig):
 
 @partial(jax.jit, static_argnames=("cfg",))
 def lm_step(x, ops, cimg, ssq, radius, dec, prev_cost,
-            cfg: LMConfig = LMConfig()):
+            cfg: LMConfig = LMConfig(), pcg_budget=None):
     """Jitted single LM outer iteration — the Opt_ProblemStep granularity for
     the "LMGPU" solver (OptSolver.h:72-91 steps one nonlinear iteration per
     call; each is one trust-region accept/reject). The caller threads
     (radius, dec, prev_cost) between steps and captures ssq = diag(JtJ) once
-    per solve (PCGSaveSSq, solverGPUGaussNewton.t:1043-1045)."""
-    return _lm_step_impl(x, ops, cimg, ssq, radius, dec, prev_cost, cfg)
+    per solve (PCGSaveSSq, solverGPUGaussNewton.t:1043-1045). `pcg_budget`
+    (traced) bounds the inner PCG under the static cfg.pcg_iters cap so
+    lIterations sweeps share one executable."""
+    return _lm_step_impl(x, ops, cimg, ssq, radius, dec, prev_cost, cfg,
+                         pcg_budget=pcg_budget)
 
 
 def _lm_inner(x0, ops, cimg, cfg: LMConfig):

@@ -44,16 +44,30 @@ def shard_batch(ops_batched, mesh: Mesh):
     return jax.tree.map(put, ops_batched)
 
 
+def data_sharded_jit(mesh: Mesh, impl, n_sharded_in: int, n_out: int):
+    """jit(shard_map(...)) over the mesh's 'data' axis — THE sharding shape
+    of every dp entry point here (the reference farm semantics,
+    para_gen.py:560-567): the first `n_sharded_in` args and all `n_out`
+    outputs shard on 'data', the trailing arg (the dynamic SolverConfig
+    floats) is replicated so schedule sweeps don't recompile (the tested
+    split invariant). shard_map — not GSPMD auto-partitioning — is
+    load-bearing: the impls may contain pallas_calls (custom calls the SPMD
+    partitioner cannot split), so each device must trace its own LOCAL-batch
+    kernel. Zero collectives inside: each device owns whole problems."""
+    spec = P("data")
+    return jax.jit(jax.shard_map(
+        impl, mesh=mesh,
+        in_specs=(*(spec,) * n_sharded_in, P()),
+        out_specs=(spec,) * n_out,
+        check_vma=False,
+    ))
+
+
 @lru_cache(maxsize=None)
 def _solve_batch_sharded_fn(mesh: Mesh, static_key, use_kernel: bool,
                             tall: bool):
-    """Cached jit(shard_map(...)) keyed on (mesh, static_key, route) ONLY —
-    the dynamic SolverConfig floats stay a replicated traced argument so
-    schedule sweeps don't recompile (the tested split invariant; same design
-    as models.arap._canvas_sharded_fn)."""
-    import jax.numpy as jnp
-
-    spec = P("data")
+    """Cached data_sharded_jit keyed on (mesh, static_key, route) ONLY —
+    dynamic floats stay traced (see data_sharded_jit)."""
 
     def fn(ops, dyn):
         if use_kernel:
@@ -65,10 +79,7 @@ def _solve_batch_sharded_fn(mesh: Mesh, static_key, use_kernel: bool,
             xs, flows, _ = S._solve_batch_impl(ops, dyn, static_key)
         return xs, flows
 
-    return jax.jit(jax.shard_map(
-        fn, mesh=mesh, in_specs=(spec, P()), out_specs=(spec, spec),
-        check_vma=False,
-    ))
+    return data_sharded_jit(mesh, fn, n_sharded_in=1, n_out=2)
 
 
 def solve_batch_sharded(ops_batched, cfg: S.SolverConfig, mesh: Mesh):

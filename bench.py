@@ -179,7 +179,11 @@ def main():
     )
 
 
-def _e2e_measure(n_pairs: int = 12):
+def _e2e_measure(n_pairs: int = 24):
+    # 24 pairs: enough 4-pair chunks that the depth-2 matcher-prep/solve
+    # pipeline reaches steady state (measured: 2.42 pairs/s at 12 pairs vs
+    # 2.63-2.75 at 24, same tree — the fill bubble + last-chunk tail are
+    # ~8% at 24; same steady-state argument as the solve arm's N_PAIRS=16)
     """Matcher-INCLUSIVE end-to-end number: the full user-visible pipeline
     (JPEG/PNG decode -> native matcher -> constraint filter -> batched solves
     -> raster -> compose -> .flo/PNG writes) on a synthetic 854x480 DAVIS-like

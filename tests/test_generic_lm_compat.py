@@ -165,6 +165,48 @@ def test_opt_api_lm_routes_to_lm_solver():
     np.testing.assert_allclose(x_lm, np.asarray(x_ref), atol=1e-5)
 
 
+def test_opt_api_liter_sweep_no_recompile():
+    """Opt_SetSolverParameter('lIterations', v) sweeps must NOT mint a new
+    executable per value: the facade keys its programs on a fixed 400 cap
+    (the reference app's lIterations, main.cpp:215-221) and passes the
+    actual budget as a traced float — 40-230 s/compile on the production
+    platform makes a recompile-per-value facade unusable."""
+    from arap_flow_tpu.compat.opt_api import _gn_step_impl
+    from arap_flow_tpu.ops.lm import lm_step
+
+    _run_lifecycle("gaussNewtonGPU", l_iter=50)
+    _run_lifecycle("LMGPU", l_iter=50)
+    gn_progs = _gn_step_impl._cache_size()
+    lm_progs = lm_step._cache_size()
+    x50, c50 = _run_lifecycle("gaussNewtonGPU", l_iter=70)
+    _run_lifecycle("LMGPU", l_iter=70)
+    assert _gn_step_impl._cache_size() == gn_progs, "GN recompiled on lIterations change"
+    assert lm_step._cache_size() == lm_progs, "LM recompiled on lIterations change"
+    # and the budget is actually honored: a deeper PCG changes the result
+    x30, c30 = _run_lifecycle("gaussNewtonGPU", l_iter=4)
+    assert not np.allclose(x50, x30), "lIterations budget had no effect"
+
+
+def test_opt_api_writeback_rejects_unwritable_bindings():
+    """Binding slot 0/1 as anything numpy cannot write through (list, jax
+    array) must raise at the first step instead of silently dropping the
+    in-place unknown update the Opt API contract promises."""
+    import pytest
+
+    from arap_flow_tpu import compat as opt
+
+    H, W = 8, 10
+    state = opt.Opt_NewState()
+    prob = opt.Opt_ProblemDefine(state, "arap_plan.t", "gaussNewtonGPU")
+    plan = opt.Opt_ProblemPlan(state, prob, (W, H))
+    opt.Opt_SetSolverParameter(state, plan, "nIterations", 1)
+    opt.Opt_SetSolverParameter(state, plan, "lIterations", 5)
+    params = _opt_lifecycle_params(H, W)
+    params[0] = params[0].tolist()  # a list binding cannot be written back
+    with pytest.raises(TypeError, match="Offset.*writable"):
+        opt.Opt_ProblemSolve(state, plan, params)
+
+
 def test_opt_api_lifecycle():
     """Full Opt.h lifecycle drives a solve and writes the unknowns back."""
     from arap_flow_tpu import compat as opt
