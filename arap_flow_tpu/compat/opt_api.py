@@ -162,14 +162,21 @@ def _writeback(plan: _Plan, problem_params: list) -> None:
     offset, angle = problem_params[0], problem_params[1]
     W, H = plan.dims
     views = []
-    for name, buf in (("Offset", offset), ("Angle", angle)):
+    for name, buf, shape in (("Offset", offset, (H, W, 2)),
+                             ("Angle", angle, (H, W))):
         arr = np.asarray(buf)
         # np.asarray must have given us the caller's memory (the ndarray
         # itself, or a view over a buffer-protocol object) — a silent copy
         # (e.g. a Python list or a jax array was bound) would make every
-        # step a no-op from the caller's point of view
-        if ((arr is not buf and arr.base is None) or not arr.flags.writeable
-                or not arr.flags.c_contiguous):  # reshape below must be a view
+        # step a no-op from the caller's point of view. Non-contiguous but
+        # writable bindings (F-order, strided views) are fine as long as
+        # the reshape below aliases the caller's buffer rather than copying.
+        bad = (arr is not buf and arr.base is None) or not arr.flags.writeable
+        view = None
+        if not bad:
+            view = arr.reshape(shape)
+            bad = not np.shares_memory(view, arr)  # reshape made a copy
+        if bad:
             raise TypeError(
                 f"{name} binding must be a writable numpy buffer (got "
                 f"{type(buf).__name__}): the Opt API updates the bound "
@@ -177,9 +184,9 @@ def _writeback(plan: _Plan, problem_params: list) -> None:
                 "solverGPUGaussNewton.t:1115) — bind numpy arrays for "
                 "slots 0-1"
             )
-        views.append(arr)
-    views[0].reshape(H, W, 2)[...] = plan.state[:2].transpose(1, 2, 0)
-    views[1].reshape(H, W)[...] = plan.state[2]
+        views.append(view)
+    views[0][...] = plan.state[:2].transpose(1, 2, 0)
+    views[1][...] = plan.state[2]
 
 
 def Opt_ProblemStep(state: OptState, plan: _Plan, problem_params: list) -> int:
@@ -227,9 +234,13 @@ def Opt_ProblemStep(state: OptState, plan: _Plan, problem_params: list) -> int:
             plan.n_iter_done = n
             return 0
     else:
+        # raw l_iters as the traced budget: lIterations=0 is a no-op PCG
+        # (zero inner iterations, x unchanged) exactly as the original GN
+        # facade behaved; the LM path clamps to 1 because its trust-region
+        # update needs a step to evaluate
         cfg = S.SolverConfig(
             num_anneal=1, gn_iters=1, max_pcg_iters=cap,
-            pcg_iters=max(l_iters, 1.0),
+            pcg_iters=l_iters,
         ).resolve()
         x, cst = _gn_step_impl(x, plan.ops, cimg, cfg.dynamic, cfg.static_key)
         plan.state = np.asarray(x)

@@ -13,12 +13,21 @@ step is reconstructed here:
 3. para_gen runs on that tree exactly as on real video (per --fd).
 
     python -m arap_flow_tpu.pipeline.dmo_gen --masks ROOT --output OUT \
-        [--fd 1 2 3] [--seed 0] [--multseg] [--schedule parity]
+        [--fd 1 2 3] [--seed 0] [--multseg] [--schedule parity] \
+        [--texture_sets 2]
 
 ``--masks ROOT`` must contain orgMasks/<seq>/NNNNN.png annotation masks
 (0 = background, ids = objects). Textured frames are written to
 OUT/textured/orgRGB; each fd runs into OUT/fd{N}/ with shared masks
 (the D15 layout).
+
+``--texture_sets K`` (K >= 2) reproduces the reference's DUAL-texture-set
+layout (D15OM + D15RM share identical Flow, README.md:6-31): set 0 is solved
+normally into OUT/set0/fd{N}; each further set k re-textures the SAME masks
+with a different seed and REUSES set 0's .flo via the warp tool (run_warp
+semantics) — Flow is hard-linked, so the sets' Flow trees are byte-identical
+by construction; only inpRGB/wRGB/wMasks are re-generated from set k's
+textures. Matches/solves run ONCE regardless of K.
 """
 
 from __future__ import annotations
@@ -26,12 +35,14 @@ from __future__ import annotations
 import argparse
 import os
 import os.path as osp
+import shutil
 import zlib
 
 import numpy as np
 
 from ..io.image import save_image
-from .para_gen import ORGMASK, ORGCOLOR, PipelineFlags, main_pipeline
+from .para_gen import (COLOR_DIR, FLOW_DIR, MASK_DIR, ORGCOLOR, ORGMASK,
+                       WMASK_DIR, WRGB_DIR, PipelineFlags, main_pipeline)
 
 
 def _texture_for(key_seed: int, H: int, W: int):
@@ -111,6 +122,97 @@ def assemble(masks_root: str, output: str, seed: int) -> str:
     return troot
 
 
+def _link_or_copy(src: str, dst: str) -> None:
+    os.makedirs(osp.dirname(dst), exist_ok=True)
+    if osp.exists(dst):
+        os.remove(dst)
+    try:
+        os.link(src, dst)  # byte-identical by construction
+    except OSError:
+        shutil.copy2(src, dst)
+
+
+def replicate_texture_set(set0_out: str, setk_input: str, setk_out: str,
+                          fds: list[int], warp_backend: str = "host") -> int:
+    """Texture set k >= 1 of the dual-set D15 layout (README.md:6-31).
+
+    For every pair set 0 produced (its Flow tree is the ground truth of what
+    survived the match/filter sweep), re-derive set k's products WITHOUT
+    re-solving: Flow + inpMasks + wMasks are hard-linked from set 0 (flow and
+    masks are texture-independent — matches depend on appearance, but the
+    flow is REUSED, which is the whole point of the shared-Flow layout);
+    inpRGB comes from set k's textured frames; wRGB re-applies set 0's .flo
+    to set k's frame via the warp tool (run_warp semantics,
+    /root/reference/run_warp.py:9-67). Returns the number of pairs written.
+    """
+    from PIL import Image
+
+    from .warp_tool import warp_image
+
+    n = 0
+    for fd in fds:
+        flow_root = osp.join(set0_out, f"fd{fd}", FLOW_DIR)
+        if not osp.isdir(flow_root):
+            continue
+        for dirpath, _, files in os.walk(flow_root):
+            rel = osp.relpath(dirpath, flow_root)
+            for f in sorted(files):
+                if not f.endswith(".flo"):
+                    continue
+                name = osp.splitext(f)[0]
+                flo0 = osp.join(dirpath, f)
+                out_fd = osp.join(setk_out, f"fd{fd}")
+                # shared, texture-independent products: hard-linked
+                _link_or_copy(flo0, osp.join(out_fd, FLOW_DIR, rel, f))
+                for d in (MASK_DIR, WMASK_DIR):
+                    src = osp.join(set0_out, f"fd{fd}", d, rel, name + ".png")
+                    if osp.exists(src):
+                        _link_or_copy(src,
+                                      osp.join(out_fd, d, rel, name + ".png"))
+                # set k's own appearance products
+                src_rgb = osp.join(setk_input, ORGCOLOR, rel, name + ".jpg")
+                inp_rgb = osp.join(out_fd, COLOR_DIR, rel, name + ".png")
+                os.makedirs(osp.dirname(inp_rgb), exist_ok=True)
+                Image.open(src_rgb).convert("RGB").save(inp_rgb)
+                # warp mask: 0 = object (warp_tool convention) from the
+                # set-0 inpMask (0 object / 255 background already)
+                msk = osp.join(out_fd, MASK_DIR, rel, name + ".png")
+                wrgb = osp.join(out_fd, WRGB_DIR, rel, name + ".png")
+                wmsk_tmp = osp.join(out_fd, WMASK_DIR, rel,
+                                    name + ".setk.tmp.png")
+                os.makedirs(osp.dirname(wrgb), exist_ok=True)
+                warp_image(inp_rgb, msk, flo0, wrgb, wmsk_tmp, warp_backend)
+                os.remove(wmsk_tmp)  # warped mask already linked from set 0
+                n += 1
+    return n
+
+
+def run(masks: str, output: str, fds: list[int], seed: int = 0,
+        multseg: bool = False, schedule: str = "parity",
+        mode: str = "simple", texture_sets: int = 1,
+        warp_backend: str = "host", solver_cfg=None) -> None:
+    """Programmatic entry (the CLI parses into this). texture_sets >= 2
+    produces OUT/set{k}/fd{N} trees with byte-identical Flow across sets."""
+    multi = texture_sets > 1
+    set_out = [osp.join(output, f"set{k}") if multi else output
+               for k in range(texture_sets)]
+    # distinct texture seeds per set, same masks
+    set_in = [assemble(masks, set_out[k], seed + 7777 * k)
+              for k in range(texture_sets)]
+    for fd in fds:
+        print(f"=== set0 fd{fd} ===")
+        flags = PipelineFlags(
+            input=set_in[0], output=osp.join(set_out[0], f"fd{fd}"), fd=fd,
+            multseg=multseg, schedule=schedule, seed=seed, mode=mode,
+        )
+        main_pipeline(flags, solver_cfg=solver_cfg)
+    for k in range(1, texture_sets):
+        print(f"=== set{k}: re-texture + shared-Flow warp ===")
+        n = replicate_texture_set(set_out[0], set_in[k], set_out[k], fds,
+                                  warp_backend)
+        print(f"set{k}: {n} pairs replicated (Flow hard-linked from set0)")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description="DMO-style textured dataset generation")
     ap.add_argument("--masks", required=True, help="root containing orgMasks/")
@@ -120,16 +222,17 @@ def main(argv=None):
     ap.add_argument("--multseg", action="store_true", default=False)
     ap.add_argument("--schedule", choices=["parity", "fast"], default="parity")
     ap.add_argument("--mode", choices=["simple", "batched"], default="simple")
+    ap.add_argument("--texture_sets", type=int, default=1,
+                    help=">=2: the reference's dual-texture-set layout "
+                    "(D15OM/D15RM, README.md:6-31) — further sets re-texture "
+                    "the same masks and share set 0's Flow byte-identically "
+                    "(re-warped, not re-solved)")
+    ap.add_argument("--warp_backend", choices=["host", "device"],
+                    default="host",
+                    help="rasterizer for the re-applied warps of sets >= 1")
     a = ap.parse_args(argv)
-
-    troot = assemble(a.masks, a.output, a.seed)
-    for fd in a.fd:
-        print(f"=== fd{fd} ===")
-        flags = PipelineFlags(
-            input=troot, output=osp.join(a.output, f"fd{fd}"), fd=fd,
-            multseg=a.multseg, schedule=a.schedule, seed=a.seed, mode=a.mode,
-        )
-        main_pipeline(flags)
+    run(a.masks, a.output, a.fd, a.seed, a.multseg, a.schedule, a.mode,
+        a.texture_sets, a.warp_backend)
 
 
 if __name__ == "__main__":

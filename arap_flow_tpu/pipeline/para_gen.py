@@ -111,6 +111,12 @@ class PipelineFlags:
     warmup: bool = False  # compile the standard bucket programs up front
     shard: tuple | None = None  # (i, n): this host takes pairs with idx%n==i
     match_downscale: int = 1  # match on a 2^k-pooled image (faster, coarser)
+    # mask gate semantics: "count" (default) skips pairs with <=10 OBJECT
+    # PIXELS — a deliberate deviation: sub-10-px objects cannot be matched or
+    # solved meaningfully; "refsum" replicates the reference exactly
+    # (mask.sum() > 10 — sum of pixel VALUES, para_gen.py:251 — under which a
+    # single 255-valued annotation pixel passes the gate)
+    mask_gate: str = "count"  # count | refsum
 
 
 def scale_rotate(im: Image.Image, mk: Image.Image, size):
@@ -291,8 +297,17 @@ def run_matching(
     )[:, :4].astype(np.int32)
 
 
-def has_mask(msk1, msk2) -> bool:
-    """Both masks must have enough object pixels (para_gen.py:243-251)."""
+def has_mask(msk1, msk2, gate: str = "count") -> bool:
+    """Both masks must have enough object content (para_gen.py:243-251).
+
+    gate="count" (default): >10 nonzero PIXELS — deliberate deviation from
+    the reference, which sums pixel VALUES (`mask.sum() > 10`,
+    para_gen.py:251) so a single 255-valued pixel passes; a <=10-px object
+    has nothing the matcher or solver can use. gate="refsum" replicates the
+    reference's value-sum semantics exactly (PipelineFlags.mask_gate).
+    """
+    if gate == "refsum":
+        return int(np.sum(msk1)) > 10 and int(np.sum(msk2)) > 10
     return int(np.sum(msk1 != 0)) > 10 and int(np.sum(msk2 != 0)) > 10
 
 
@@ -346,7 +361,7 @@ def decode_pair(flags: PipelineFlags, p: PairPaths):
     if mk2.ndim == 3:
         mk2 = mk2[:, :, 0]
 
-    if not has_mask(mk1, mk2):
+    if not has_mask(mk1, mk2, flags.mask_gate):
         return None
 
     # preprocessed sources feed the matcher when resizing happened
@@ -1027,6 +1042,12 @@ def parse_args(argv=None) -> PipelineFlags:
                         "image: ~4x/octave cheaper, slightly coarser "
                         "matches (the constraint filter + solver absorb "
                         "the precision loss)")
+    parser.add_argument("--mask_gate", choices=["count", "refsum"],
+                        default="count",
+                        help="empty-mask skip semantics: 'count' skips pairs "
+                        "with <=10 object PIXELS (default; deliberate "
+                        "deviation); 'refsum' replicates the reference's "
+                        "mask.sum()>10 pixel-VALUE sum (para_gen.py:251)")
     a = parser.parse_args(argv)
     assert 0 < a.fd < 20, "Invalid fd number!"
     return PipelineFlags(
@@ -1047,6 +1068,7 @@ def parse_args(argv=None) -> PipelineFlags:
         warmup=a.warmup,
         shard=tuple(int(x) for x in a.shard.split("/")) if a.shard else None,
         match_downscale=a.match_downscale,
+        mask_gate=a.mask_gate,
     )
 
 

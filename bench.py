@@ -207,7 +207,7 @@ def _e2e_measure(n_pairs: int = 24):
         make_dataset(data, n_pairs + 1)
         runs = []
         out = None
-        for i in range(3):  # cold + 2 warm
+        for i in range(4):  # cold + 3 warm
             out = os.path.join(root, f"out_{i}")
             flags = PipelineFlags(
                 input=data, output=out, fd=1, multseg=True, seed=0,
@@ -218,15 +218,18 @@ def _e2e_measure(n_pairs: int = 24):
             runs.append(time.time() - t0)
             assert len(triples) == n_pairs
         check_flow_accuracy(out, data)  # raises on inaccuracy
-        warm = min(runs[1:])
+        warm = sorted(runs[1:])[1]  # median of 3 warm, symmetric with the
+        # solve arm's median-of-3 (round-4 verdict: best-of-2 overstated)
         return {
             "e2e_metric": "END-TO-END pairs/sec/chip incl. matching: decode + "
             "native matcher + filter + batched solves (19x8x400) + raster + "
-            "compose + .flo/PNG writes, 854x480 multseg, warm",
+            "compose + .flo/PNG writes, 854x480 multseg, warm "
+            "(median of 3 warm runs)",
             "e2e_value": round(n_pairs / warm, 3),
             "e2e_unit": "pairs/s/chip",
             "e2e_runs_s": [round(t, 2) for t in runs],
-            "e2e_flow_accuracy": "checked (<1px median on rigid objects)",
+            "e2e_flow_accuracy": "checked (<1px median rigid seg + <0.8px "
+            "median EPE vs analytic non-rigid flow)",
         }
     finally:
         shutil.rmtree(root, ignore_errors=True)

@@ -15,8 +15,12 @@ This run measures all three on one process:
 
 Object sizes step through 12 (solve-bucket-spanning) shapes, 8 frames per
 block, so segments sweep a wide slice of the 31-bucket ladder including the
-transposed (wide-flat) path; motion inside a block is rigid translation, so
-flow accuracy is spot-checked on in-block pairs like pipeline_bench.
+transposed (wide-flat) path; object 1 translates rigidly inside a block while
+object 2 additionally carries the NON-RIGID interior deformation
+(synth_nonrigid.py — boundary-vanishing field, so its bbox/buckets are
+unchanged) whenever it is large enough; flow accuracy is spot-checked on
+in-block pairs like pipeline_bench (seg 1 median-rigid, seg 2 EPE vs the
+analytic non-rigid flow).
 
     python scripts/endurance.py [n_pairs] [out.json]
 """
@@ -35,6 +39,8 @@ import numpy as np
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 from PIL import Image
+
+from synth_nonrigid import draw_nonrigid, nr_check_epe
 
 H, W = 480, 854
 BLOCK = 8  # frames per size block; pairs inside a block are rigid
@@ -59,6 +65,14 @@ def _bounce(t, step, lo, hi):
     span = hi - lo
     ph = (step * t) % (2 * span)
     return lo + (ph if ph <= span else 2 * span - ph)
+
+
+def _nr_amp(ry, rx):
+    """Non-rigid amplitude for object 2 at semi-axes (ry, rx): scaled to the
+    object (the field is defined in normalized material coords), disabled for
+    the smallest blocks where the matcher's stride can't resolve it."""
+    m = min(ry, rx)
+    return min(6.0, 0.12 * m) if m >= 35 else 0.0
 
 
 def _centers(t):
@@ -88,10 +102,11 @@ def make_dataset(root, n_frames, seed=0):
         mask = np.zeros((H, W), np.uint8)
         (c1, c2) = _centers(t)
         (s1, s2) = _sizes(t)
-        for seg, ((cy, cx), (ry, rx)) in enumerate(((c1, s1), (c2, s2)), 1):
-            ob = ((yy - cy) / ry) ** 2 + ((xx - cx) / rx) ** 2 < 1
-            img[ob] = tex[(yy[ob] - cy) % H, (xx[ob] - cx) % W]
-            mask[ob] = seg
+        ob = ((yy - c1[0]) / s1[0]) ** 2 + ((xx - c1[1]) / s1[1]) ** 2 < 1
+        img[ob] = tex[(yy[ob] - c1[0]) % H, (xx[ob] - c1[1]) % W]
+        mask[ob] = 1
+        draw_nonrigid(img, mask, tex, 2, c2[0], c2[1], s2[0], s2[1],
+                      _nr_amp(*s2), t)
         Image.fromarray(img).save(
             osp.join(root, "orgRGB", "seq0", f"{t:05d}.jpg"), quality=95
         )
@@ -148,8 +163,10 @@ class CompileCensus(logging.Handler):
 
 
 def check_accuracy(out_dir, data_dir, t):
-    """Median flow of each object on pair (t, t+1) must match its rigid
-    translation (valid only for pairs strictly inside a size block)."""
+    """Flow gate on pair (t, t+1), valid only for pairs strictly inside a
+    size block: seg 1 median flow must match its rigid translation; seg 2 is
+    gated by EPE against the analytic non-rigid flow (median < 1.0 px —
+    consistent with the rigid ±1 px tolerance)."""
     from arap_flow_tpu.io import flo as flo_io
 
     flo_path = osp.join(out_dir, "Flow", "seq0", f"{t:05d}.flo")
@@ -158,15 +175,19 @@ def check_accuracy(out_dir, data_dir, t):
     mask = np.array(Image.open(msk_path))
     c0, c1 = _centers(t), _centers(t + 1)
     bad = []
-    for seg in (1, 2):
-        sel = mask == seg
-        if sel.sum() < 400:
-            continue
-        du = float(c1[seg - 1][1] - c0[seg - 1][1])
-        dv = float(c1[seg - 1][0] - c0[seg - 1][0])
+    sel = mask == 1
+    if sel.sum() >= 400:
+        du = float(c1[0][1] - c0[0][1])
+        dv = float(c1[0][0] - c0[0][0])
         mu, mv = float(np.median(u[sel])), float(np.median(v[sel]))
         if abs(mu - du) >= 1.0 or abs(mv - dv) >= 1.0:
-            bad.append((t, seg, (mu, mv), (du, dv)))
+            bad.append((t, 1, (mu, mv), (du, dv)))
+    ry, rx = _sizes(t)[1]
+    ok, msg = nr_check_epe(u, v, mask, 2, c0[1], c1[1], ry, rx,
+                           _nr_amp(ry, rx), t, thresh=1.0,
+                           label=f"t={t} seg2")
+    if not ok:
+        bad.append((t, 2, msg))
     return bad
 
 

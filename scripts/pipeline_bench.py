@@ -1,9 +1,13 @@
 """End-to-end pipeline benchmark on a synthetic DAVIS-like tree (real TPU).
 
-Builds N frame pairs at 854×480 with two textured moving objects, then runs
-the full para_gen pipeline (native matcher → constraint filter → ARAP solves →
+Builds N frame pairs at 854×480 with two textured moving objects — object 1
+rigid, object 2 NON-RIGID (rigid translation + an interior sinusoidal
+deformation with analytic flow, synth_nonrigid.py; the reference's operating
+regime is deforming objects, para_gen.py:216-223) — then runs the full
+para_gen pipeline (native matcher → constraint filter → ARAP solves →
 rasterization → composition → .flo/PNG writes) and reports pairs/sec for both
-execution modes.
+execution modes. check_flow_accuracy gates seg 1 by median translation and
+seg 2 by per-pixel EPE against the analytic non-rigid flow.
 
     python scripts/pipeline_bench.py [n_pairs]
 """
@@ -19,6 +23,12 @@ import numpy as np
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 from PIL import Image
+
+from synth_nonrigid import draw_nonrigid, nr_check_epe
+
+# object 2's ellipse semi-axes and non-rigid amplitude: peak interior
+# deformation ~0.55*amp ≈ 3.3 px per frame pair (|Δphase| = 1.0)
+NR_RY, NR_RX, NR_AMP = 60, 90, 6.0
 
 
 def _bounce(t, step, lo, hi):
@@ -60,9 +70,8 @@ def make_dataset(root, n_frames, H=480, W=854, seed=0):
         ob1 = ((yy - y0 - 90) / 90.0) ** 2 + ((xx - x0 - 140) / 140.0) ** 2 < 1
         img[ob1] = tex[(yy[ob1] - y0) % H, (xx[ob1] - x0) % W]
         mask[ob1] = 1
-        ob2 = ((yy - y1 - 60) / 60.0) ** 2 + ((xx - x1 - 90) / 90.0) ** 2 < 1
-        img[ob2] = tex[(yy[ob2] - y1) % H, (xx[ob2] - x1) % W]
-        mask[ob2] = 2
+        draw_nonrigid(img, mask, tex, 2, y1 + NR_RY, x1 + NR_RX,
+                      NR_RY, NR_RX, NR_AMP, t)
         Image.fromarray(img).save(
             osp.join(root, "orgRGB", "seq0", f"{t:05d}.jpg"), quality=95
         )
@@ -115,11 +124,13 @@ def main():
 
 
 def check_flow_accuracy(out_dir, data_dir):
-    """Correctness gate on the bench products: the synthetic objects
-    translate rigidly (object_positions), so the produced .flo must recover
-    frame 0→1's displacements on the object interiors. Segment ids come from
-    the ORIGINAL annotation mask (the pipeline's saved inpMasks are binary
-    ARAP masks)."""
+    """Correctness gate on the bench products, pair (0, 1): seg 1 translates
+    rigidly (median flow must match its displacement within 1 px); seg 2 is
+    NON-RIGID (translation + analytic sinusoidal interior deformation) and is
+    gated by median per-pixel EPE < 0.8 px against the analytic flow — a
+    matcher/filter/solver regression that only hurts non-rigid recovery now
+    fails this gate. Segment ids come from the ORIGINAL annotation mask (the
+    pipeline's saved inpMasks are binary ARAP masks)."""
     import numpy as np
 
     from arap_flow_tpu.io import flo as flo_io
@@ -134,22 +145,24 @@ def check_flow_accuracy(out_dir, data_dir):
     if mask.ndim == 3:
         mask = mask[..., 0]
     p0, p1 = object_positions(0), object_positions(1)
-    moves = [
-        (seg + 1, (float(p1[seg][1] - p0[seg][1]),
-                   float(p1[seg][0] - p0[seg][0])))
-        for seg in (0, 1)
-    ]
     ok = True
-    for seg, (du, dv) in moves:
-        sel = mask == seg
-        if sel.sum() < 100:
-            continue
+    # seg 1: rigid median check
+    du, dv = float(p1[0][1] - p0[0][1]), float(p1[0][0] - p0[0][0])
+    sel = mask == 1
+    if sel.sum() >= 100:
         mu, mv = float(np.median(u[sel])), float(np.median(v[sel]))
         good = abs(mu - du) < 1.0 and abs(mv - dv) < 1.0
         ok &= good
-        print(f"  flow check seg{seg}: median ({mu:+.2f}, {mv:+.2f}) "
+        print(f"  flow check seg1: median ({mu:+.2f}, {mv:+.2f}) "
               f"expected ({du:+.0f}, {dv:+.0f}) "
               f"{'OK' if good else 'MISMATCH'}")
+    # seg 2: non-rigid EPE-vs-analytic check
+    c0 = (p0[1][0] + NR_RY, p0[1][1] + NR_RX)
+    c1 = (p1[1][0] + NR_RY, p1[1][1] + NR_RX)
+    good, msg = nr_check_epe(u, v, mask, 2, c0, c1, NR_RY, NR_RX, NR_AMP, 0,
+                             label="seg2")
+    ok &= good
+    print(msg)
     if not ok:
         raise SystemExit("pipeline flow accuracy check FAILED")
 

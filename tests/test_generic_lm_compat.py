@@ -178,13 +178,13 @@ def test_opt_api_liter_sweep_no_recompile():
     _run_lifecycle("LMGPU", l_iter=50)
     gn_progs = _gn_step_impl._cache_size()
     lm_progs = lm_step._cache_size()
-    x50, c50 = _run_lifecycle("gaussNewtonGPU", l_iter=70)
+    x70, c70 = _run_lifecycle("gaussNewtonGPU", l_iter=70)
     _run_lifecycle("LMGPU", l_iter=70)
     assert _gn_step_impl._cache_size() == gn_progs, "GN recompiled on lIterations change"
     assert lm_step._cache_size() == lm_progs, "LM recompiled on lIterations change"
     # and the budget is actually honored: a deeper PCG changes the result
-    x30, c30 = _run_lifecycle("gaussNewtonGPU", l_iter=4)
-    assert not np.allclose(x50, x30), "lIterations budget had no effect"
+    x4, c4 = _run_lifecycle("gaussNewtonGPU", l_iter=4)
+    assert not np.allclose(x70, x4), "lIterations budget had no effect"
 
 
 def test_opt_api_writeback_rejects_unwritable_bindings():
@@ -205,6 +205,50 @@ def test_opt_api_writeback_rejects_unwritable_bindings():
     params[0] = params[0].tolist()  # a list binding cannot be written back
     with pytest.raises(TypeError, match="Offset.*writable"):
         opt.Opt_ProblemSolve(state, plan, params)
+
+
+def test_opt_api_writeback_accepts_noncontiguous_view():
+    """A writable but NON-contiguous binding (a strided row-slice view of a
+    larger buffer) must be written back through, not rejected: the guard is
+    'does the reshape alias the caller's memory', not C-contiguity."""
+    from arap_flow_tpu import compat as opt
+
+    H, W = 8, 10
+    state = opt.Opt_NewState()
+    prob = opt.Opt_ProblemDefine(state, "arap_plan.t", "gaussNewtonGPU")
+    plan = opt.Opt_ProblemPlan(state, prob, (W, H))
+    opt.Opt_SetSolverParameter(state, plan, "nIterations", 1)
+    opt.Opt_SetSolverParameter(state, plan, "lIterations", 5)
+    params = _opt_lifecycle_params(H, W)
+    base = np.zeros((2 * H, W, 2), np.float32)
+    view = base[::2]  # non-contiguous, writable, shares memory with base
+    assert not view.flags.c_contiguous
+    view[...] = params[0]
+    params[0] = view
+    opt.Opt_ProblemSolve(state, plan, params)
+    # the solve wrote through the strided view into the caller's base buffer
+    np.testing.assert_array_equal(base[::2],
+                                  np.asarray(plan.state)[:2].transpose(1, 2, 0))
+    assert not np.allclose(base[::2], 0.0)
+
+
+def test_opt_api_gn_zero_literations_is_noop():
+    """lIterations=0 on the GN path runs zero PCG iterations: the unknowns
+    come back unchanged (the original facade contract; LM clamps to 1 by
+    design because its trust-region update needs a trial step)."""
+    from arap_flow_tpu import compat as opt
+
+    H, W = 8, 10
+    state = opt.Opt_NewState()
+    prob = opt.Opt_ProblemDefine(state, "arap_plan.t", "gaussNewtonGPU")
+    plan = opt.Opt_ProblemPlan(state, prob, (W, H))
+    opt.Opt_SetSolverParameter(state, plan, "nIterations", 2)
+    opt.Opt_SetSolverParameter(state, plan, "lIterations", 0)
+    params = _opt_lifecycle_params(H, W)
+    before = params[0].copy(), params[1].copy()
+    opt.Opt_ProblemSolve(state, plan, params)
+    np.testing.assert_array_equal(params[0], before[0])
+    np.testing.assert_array_equal(params[1], before[1])
 
 
 def test_opt_api_lifecycle():

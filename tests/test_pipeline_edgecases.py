@@ -84,6 +84,37 @@ def test_tiny_mask_pairs_skipped(tmp_path):
     _run(inp, out, expect_pairs=0)
 
 
+def test_mask_gate_refsum_semantics(tmp_path):
+    """--mask_gate refsum replicates the reference's mask.sum()>10 pixel-
+    VALUE gate (para_gen.py:251): a 9-px mask of 255-valued pixels is
+    SKIPPED by the default count gate but PASSES refsum (9*255 > 10).
+    Unit-level check on has_mask itself plus a pipeline-level run."""
+    from arap_flow_tpu.pipeline.para_gen import has_mask
+
+    nine = np.zeros((H, W), np.uint8)
+    nine[30:33, 40:43] = 255  # 9 px, value sum 2295
+    assert not has_mask(nine, nine)                  # count: 9 px <= 10
+    assert has_mask(nine, nine, "refsum")            # refsum: 2295 > 10
+    one = np.zeros((H, W), np.uint8)
+    one[5, 5] = 255
+    assert has_mask(one, one, "refsum")              # the reference quirk
+    assert not has_mask(one, one)
+    low = np.zeros((H, W), np.uint8)
+    low[10:14, 10:14] = 1  # 16 px but value sum 16 > 10: both pass
+    assert has_mask(low, low) and has_mask(low, low, "refsum")
+    # pipeline level: 9x9-px object (81 px) moves 2 px/frame — count gate
+    # passes it; shrink to 3x3 -> count skips, refsum still processes (the
+    # solver gets 9 constraints' worth of a 3x3 object; products must exist)
+    inp, out = str(tmp_path / "d"), str(tmp_path / "o")
+    f, m = _moving_square(H, W, 2, 2, 2, sz=3)
+    for t in range(2):
+        m[t] = (m[t] > 0).astype(np.uint8) * 255
+    _write_seq(inp, f, m)
+    _run(inp, out, expect_pairs=0)  # count gate: 9 px <= 10 -> skipped
+    out2 = str(tmp_path / "o2")
+    _run(inp, out2, expect_pairs=1, mask_gate="refsum")
+
+
 def test_huge_jump_filtered_to_zero_pairs(tmp_path):
     """70-px/frame motion: every match fails the dist<60 constraint filter
     (para_gen.py:216-223) -> the pair drops out instead of producing a
