@@ -27,14 +27,30 @@ Stub fidelity notes:
   - jnp.stack/asarray uploads still run (CPU backend memcpy) — on the real
     platform these are H2D through the tunnel, also host-side time.
 
+Round 5 adds the MULTI-WORKER measurement the deployment shape needs
+(reference: one worker process per GPU, para_gen.py:560-567, README.md:122
+`--gpu 0 1 2 3`): N co-located worker processes, each running `--shard i/N`
+of the same dataset with stubbed devices, all timed through a file barrier so
+they contend simultaneously. The aggregate pairs/s curve over N in {1,2,4,8}
+quantifies the co-location penalty (per-process compile sets are NOT modeled
+— stubs compile nothing; see docs/PARITY.md for the compile-budget story).
+NOTE this container exposes ONE CPU core (nproc=1), so the curve here
+measures pure oversubscription overhead: aggregate(N) ~= aggregate(1) means
+workers time-slice cleanly and host feed scales with CORES, not processes;
+the per-host implication is stated in PARITY from pairs/s/core x core count.
+
 Run on CPU with the clean env:
     env -u PYTHONPATH JAX_PLATFORMS=cpu python scripts/host_ceiling.py [n_pairs]
+    # multi-worker curve (N = 1,2,4,8 co-located shard processes):
+    env -u PYTHONPATH JAX_PLATFORMS=cpu python scripts/host_ceiling.py \
+        [n_pairs] --multi [out.json]
 """
 
 import json
 import os
 import os.path as osp
 import shutil
+import subprocess
 import sys
 import time
 
@@ -109,8 +125,116 @@ def install_stubs():
     _ = jnp  # imported for parity with production path
 
 
+def _worker(idx: int, n_workers: int, root: str, n_pairs: int) -> None:
+    """One co-located shard worker: warm run, file barrier, timed run.
+
+    The barrier makes all N workers' timed runs overlap, so the aggregate
+    number reflects true co-location contention (decode/encode threads,
+    page cache, the single allocator arena) — the configuration the
+    reference's per-GPU process farm actually ran (para_gen.py:560-567).
+    """
+    install_stubs()
+
+    from arap_flow_tpu.pipeline.para_gen import PipelineFlags, main_pipeline
+
+    data = osp.join(root, "data")
+    expect = len(range(idx, n_pairs, n_workers))
+
+    def run(out_name):
+        flags = PipelineFlags(
+            input=data, output=osp.join(root, out_name), fd=1, multseg=True,
+            seed=0, mode="batched", shard=(idx, n_workers),
+        )
+        t0 = time.time()
+        triples = main_pipeline(flags)
+        assert len(triples) == expect, (len(triples), expect)
+        return time.time() - t0
+
+    warm_s = run(f"warm_{n_workers}_{idx}")
+    bdir = osp.join(root, f"barrier_{n_workers}")
+    os.makedirs(bdir, exist_ok=True)
+    with open(osp.join(bdir, f"ready_{idx}"), "w") as f:
+        f.write("1")
+    deadline = time.time() + 300
+    while len(os.listdir(bdir)) < n_workers:
+        if time.time() > deadline:
+            raise SystemExit(f"worker {idx}: barrier timeout")
+        time.sleep(0.05)
+    timed_s = run(f"timed_{n_workers}_{idx}")
+    with open(osp.join(root, f"res_{n_workers}_{idx}.json"), "w") as f:
+        json.dump({"idx": idx, "n_workers": n_workers, "pairs": expect,
+                   "warm_s": round(warm_s, 2), "timed_s": round(timed_s, 2)},
+                  f)
+
+
+def _multi(n_pairs: int, out_json: str | None) -> None:
+    from pipeline_bench import make_dataset
+
+    root = "/tmp/arap_host_ceiling_multi"
+    shutil.rmtree(root, ignore_errors=True)
+    data = osp.join(root, "data")
+    make_dataset(data, n_pairs + 1)
+
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)  # workers must not claim the TPU
+    env["JAX_PLATFORMS"] = "cpu"
+    curve = []
+    for n_workers in (1, 2, 4, 8):
+        procs = [
+            subprocess.Popen(
+                [sys.executable, osp.abspath(__file__), str(n_pairs),
+                 "--work", str(i), str(n_workers), root],
+                env=env, stdout=subprocess.DEVNULL,
+                stderr=subprocess.PIPE,
+            )
+            for i in range(n_workers)
+        ]
+        errs = []
+        for p in procs:
+            _, err = p.communicate(timeout=1800)
+            if p.returncode != 0:
+                errs.append(err.decode()[-2000:])
+        assert not errs, "\n".join(errs)
+        res = [
+            json.load(open(osp.join(root, f"res_{n_workers}_{i}.json")))
+            for i in range(n_workers)
+        ]
+        pairs = sum(r["pairs"] for r in res)
+        wall = max(r["timed_s"] for r in res)
+        curve.append({
+            "n_workers": n_workers,
+            "aggregate_pairs_per_s": round(pairs / wall, 2),
+            "wall_s_max": wall,
+            "wall_s_per_worker": [r["timed_s"] for r in res],
+        })
+        print(json.dumps(curve[-1]), flush=True)
+    result = {
+        "n_pairs": n_pairs,
+        "host_cores": len(os.sched_getaffinity(0)),
+        "curve": curve,
+        "note": "N co-located --shard i/N worker processes, devices stubbed "
+        "instant, timed runs overlapped via file barrier; on this "
+        f"{len(os.sched_getaffinity(0))}-core container the curve measures "
+        "the pure oversubscription penalty of process co-location",
+    }
+    print(json.dumps(result))
+    if out_json:
+        with open(out_json, "w") as f:
+            json.dump(result, f, indent=1)
+
+
 def main():
-    n_pairs = int(sys.argv[1]) if len(sys.argv) > 1 else 48
+    argv = sys.argv[1:]
+    n_pairs = int(argv[0]) if argv and not argv[0].startswith("--") else 48
+    if "--work" in argv:  # internal: spawned worker process
+        k = argv.index("--work")
+        _worker(int(argv[k + 1]), int(argv[k + 2]), argv[k + 3], n_pairs)
+        return
+    if "--multi" in argv:
+        k = argv.index("--multi")
+        out_json = argv[k + 1] if len(argv) > k + 1 else None
+        _multi(n_pairs, out_json)
+        return
 
     install_stubs()
 
@@ -143,7 +267,7 @@ def main():
         "runs_s": [round(t, 2) for t in runs],
         "host_ceiling_pairs_per_s": round(ceiling, 2),
         "note": "batched pipeline, all device programs stubbed instant; "
-        "decode+match-prep+filter+bucket+paste+compose+writes real",
+        "decode+match-prep+filter+bucket+compose+writes real",
     }
     print(json.dumps(result))
 
