@@ -513,6 +513,29 @@ def solve_and_raster_canvas(ops_batched, rgb_batched, offs, cfg: SolverConfig,
         )
         dyn = jax.tree.map(jnp.float32, cfg.dynamic)
         return fn(ops_batched, rgb_batched, offs, dyn)
+    # executable pack (ARAP_EXEC_PACK): serialized-executable cache shared
+    # across processes — skips the 40-300 s relay compile a fresh worker
+    # would pay per program (utils/aot.py; the cross-process analogue of the
+    # reference's per-size plan reuse, CombinedSolver.h:149-160). Self-
+    # building: a miss AOT-compiles (same relay cost as jit, once) and
+    # persists for every later process. Sharded-mesh programs stay on the
+    # jit path (shard_map executables are not in scope).
+    from ..utils import aot
+
+    if aot.pack_dir() is not None:
+        static_kwargs = dict(static_key=cfg.static_key,
+                             canvas_hw=tuple(canvas_hw),
+                             compact_flow=compact_flow, transposed=transposed)
+        args = (ops_batched, rgb_batched, offs, cfg.dynamic)
+        akey = aot.canvas_key(args, static_kwargs)
+        comp = aot.lookup(akey)
+        if comp is None:
+            comp = aot.compile_and_save(
+                akey, _solve_and_raster_canvas_impl, args, static_kwargs)
+        try:
+            return comp(*args)
+        except Exception:  # noqa: BLE001 — any pack failure → jit path
+            pass
     return _solve_and_raster_canvas_impl(
         ops_batched, rgb_batched, offs, cfg.dynamic, cfg.static_key,
         canvas_hw=tuple(canvas_hw), compact_flow=compact_flow,

@@ -1042,6 +1042,13 @@ def parse_args(argv=None) -> PipelineFlags:
                         "image: ~4x/octave cheaper, slightly coarser "
                         "matches (the constraint filter + solver absorb "
                         "the precision loss)")
+    parser.add_argument("--exec_pack", default=None, metavar="DIR",
+                        help="executable-pack directory (sets ARAP_EXEC_PACK)"
+                        ": canvas solver executables are serialized here and "
+                        "loaded by later processes WITHOUT recompiling — "
+                        "combine with --warmup in one builder process, then "
+                        "start the --shard worker farm against the same DIR "
+                        "(utils/aot.py)")
     parser.add_argument("--mask_gate", choices=["count", "refsum"],
                         default="count",
                         help="empty-mask skip semantics: 'count' skips pairs "
@@ -1050,6 +1057,8 @@ def parse_args(argv=None) -> PipelineFlags:
                         "mask.sum()>10 pixel-VALUE sum (para_gen.py:251)")
     a = parser.parse_args(argv)
     assert 0 < a.fd < 20, "Invalid fd number!"
+    if a.exec_pack:
+        os.environ["ARAP_EXEC_PACK"] = a.exec_pack
     return PipelineFlags(
         input=a.input.rstrip(osp.sep),
         output=a.output.rstrip(osp.sep),
