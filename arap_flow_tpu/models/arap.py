@@ -534,8 +534,12 @@ def solve_and_raster_canvas(ops_batched, rgb_batched, offs, cfg: SolverConfig,
                 akey, _solve_and_raster_canvas_impl, args, static_kwargs)
         try:
             return comp(*args)
-        except Exception:  # noqa: BLE001 — any pack failure → jit path
-            pass
+        except Exception as exc:  # noqa: BLE001 — any pack failure → jit path
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "exec-pack executable call failed (%s: %s) — recompiling "
+                "via jit", type(exc).__name__, exc)
     return _solve_and_raster_canvas_impl(
         ops_batched, rgb_batched, offs, cfg.dynamic, cfg.static_key,
         canvas_hw=tuple(canvas_hw), compact_flow=compact_flow,

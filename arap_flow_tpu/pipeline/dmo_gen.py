@@ -42,7 +42,8 @@ import numpy as np
 
 from ..io.image import save_image
 from .para_gen import (COLOR_DIR, FLOW_DIR, MASK_DIR, ORGCOLOR, ORGMASK,
-                       WMASK_DIR, WRGB_DIR, PipelineFlags, main_pipeline)
+                       WMASK_DIR, WRGB_DIR, PipelineFlags, main_pipeline,
+                       scale_rotate)
 
 
 def _texture_for(key_seed: int, H: int, W: int):
@@ -169,11 +170,19 @@ def replicate_texture_set(set0_out: str, setk_input: str, setk_out: str,
                     if osp.exists(src):
                         _link_or_copy(src,
                                       osp.join(out_fd, d, rel, name + ".png"))
-                # set k's own appearance products
+                # set k's own appearance products. The frame must pass the
+                # SAME preprocessing set 0's pipeline applied (portrait
+                # transpose, para_gen.scale_rotate:122-135) or set-k's
+                # inpRGB/wRGB would be geometrically inconsistent with the
+                # linked set-0 Flow/masks (dmo_gen has no --size, so resize
+                # never applies here — only the transpose path can trigger).
                 src_rgb = osp.join(setk_input, ORGCOLOR, rel, name + ".jpg")
+                src_msk = osp.join(setk_input, ORGMASK, rel, name + ".png")
                 inp_rgb = osp.join(out_fd, COLOR_DIR, rel, name + ".png")
                 os.makedirs(osp.dirname(inp_rgb), exist_ok=True)
-                Image.open(src_rgb).convert("RGB").save(inp_rgb)
+                im_p = Image.open(src_rgb).convert("RGB")
+                _, im_p, _ = scale_rotate(im_p, Image.open(src_msk), None)
+                im_p.save(inp_rgb)
                 # warp mask: 0 = object (warp_tool convention) from the
                 # set-0 inpMask (0 object / 255 background already)
                 msk = osp.join(out_fd, MASK_DIR, rel, name + ".png")

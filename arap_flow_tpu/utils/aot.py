@@ -31,9 +31,12 @@ version skew, deserialize error) falls back to the normal jit path.
 from __future__ import annotations
 
 import hashlib
+import logging
 import os
 import pickle
 import threading
+
+_LOG = logging.getLogger(__name__)
 
 _BOOK = threading.Lock()          # bookkeeping (dicts below)
 _LOADED: dict = {}                # key -> loaded executable
@@ -93,7 +96,13 @@ def lookup(key):
         with _BOOK:
             _LOADED[key] = comp
         return comp
-    except Exception:  # noqa: BLE001 — any pack failure means "use jit"
+    except Exception as exc:  # noqa: BLE001 — any pack failure means "use jit"
+        # visible, not fatal: a silently-broken pack (version skew, partial
+        # write) would otherwise cost every worker a full relay compile with
+        # zero diagnostics
+        _LOG.warning("exec-pack entry %s failed to load (%s: %s) — "
+                     "falling back to compile", os.path.basename(path),
+                     type(exc).__name__, exc)
         with _BOOK:
             _FAILED.add(key)
         return None
@@ -120,8 +129,9 @@ def compile_and_save(key, jitted, args, static_kwargs):
             with open(tmp, "wb") as f:
                 f.write(pickle.dumps(payload))
             os.replace(tmp, path)  # atomic: concurrent workers share the dir
-        except Exception:  # noqa: BLE001 — persistence is best-effort
-            pass
+        except Exception as exc:  # noqa: BLE001 — persistence is best-effort
+            _LOG.warning("exec-pack save failed (%s: %s) — executable kept "
+                         "in-process only", type(exc).__name__, exc)
         with _BOOK:
             _LOADED[key] = comp
         return comp

@@ -190,10 +190,17 @@ def _multi(n_pairs: int, out_json: str | None) -> None:
             for i in range(n_workers)
         ]
         errs = []
-        for p in procs:
-            _, err = p.communicate(timeout=1800)
-            if p.returncode != 0:
-                errs.append(err.decode()[-2000:])
+        try:
+            for p in procs:
+                _, err = p.communicate(timeout=1800)
+                if p.returncode != 0:
+                    errs.append(err.decode()[-2000:])
+        finally:
+            # one hung/failed worker must not leave N-1 CPU-bound jax
+            # processes contending with whatever the host runs next
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
         assert not errs, "\n".join(errs)
         res = [
             json.load(open(osp.join(root, f"res_{n_workers}_{i}.json")))

@@ -44,13 +44,21 @@ def _fetch(x):
     return np.asarray(x)
 
 
-def _median_time(fn, reps=5):
+def _timed(fn, reps=5, pick="median"):
+    """Repeat fn and pick the median (default) or min of the wall times.
+    Min is the clean estimator for kernel-time differencing: the platform's
+    run-to-run jitter is additive contention noise (measured ±15 ms even on
+    medians — 2.49 vs 3.69 us/iter on consecutive differenced runs)."""
     ts = []
     for _ in range(reps):
         t0 = time.time()
         fn()
         ts.append(time.time() - t0)
-    return sorted(ts)[len(ts) // 2]
+    return min(ts) if pick == "min" else sorted(ts)[len(ts) // 2]
+
+
+def _median_time(fn, reps=5):
+    return _timed(fn, reps)
 
 
 # --------------------------------------------------------------------- PCG
@@ -79,32 +87,29 @@ def pcg_roofline():
 
     H, W = 256, 384
     ops = bucket_problem(H, W, seed=0)
-    x = jnp.zeros((3, H, W), jnp.float32)
-    jtf, diag = jtf_and_diag(x, ops, ops.con_tgt)
-    pre = guarded_invert(diag)
 
-    s, c = jnp.sin(x[2]), jnp.cos(x[2])
+    import jax
+
+    # setup in ONE jitted program: eager jnp ops each mint a relay compile
+    # on this platform (CLAUDE.md), and jtf_and_diag alone unrolls dozens
+    @jax.jit
+    def _setup(o):
+        x = jnp.zeros((3, H, W), jnp.float32)
+        jtf, diag = jtf_and_diag(x, o, o.con_tgt)
+        return -jtf, guarded_invert(diag), jnp.sin(x[2]), jnp.cos(x[2])
+
+    b, pre, s, c = _setup(ops)
 
     def run(iters):
-        d = pcg_pallas(-jtf, pre, s, c, ops.vmasks,
+        d = pcg_pallas(b, pre, s, c, ops.vmasks,
                        ops.fitmask, ops.wf2, ops.wr2, jnp.int32(iters))
         _fetch(d)
 
     run(400)  # compile
-    # wide iteration spread + MIN estimator: the platform's run-to-run
-    # jitter is ±15 ms even on medians (measured: 2.49 vs 3.69 us/iter on
-    # consecutive 8000-400 runs), all of it ADDITIVE contention noise, so
-    # min(t) is the clean kernel time and a ~120 ms delta resolves it
-    def _min_time(fn, reps=9):
-        ts = []
-        for _ in range(reps):
-            t0 = time.time()
-            fn()
-            ts.append(time.time() - t0)
-        return min(ts)
-
-    t400 = _min_time(lambda: run(400))
-    t40000 = _min_time(lambda: run(40000))
+    # wide iteration spread + MIN estimator: a ~120 ms iteration delta
+    # resolves cleanly above the platform's additive jitter (_timed)
+    t400 = _timed(lambda: run(400), reps=9, pick="min")
+    t40000 = _timed(lambda: run(40000), reps=9, pick="min")
     per_iter = (t40000 - t400) / 39600.0
     slots = 107 * H * W
     achieved = slots / per_iter

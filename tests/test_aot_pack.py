@@ -108,10 +108,17 @@ def test_pack_identical_and_fresh_process_loads(tmp_path):
 
 
 def test_pack_miss_falls_back_to_jit(tmp_path):
-    """A corrupt pack entry must not break dispatch — jit fallback."""
+    """A corrupt pack entry must not break dispatch — jit fallback.
+
+    aot's in-process _LOADED cache is keyed by program identity (shapes +
+    statics, NOT pack dir), so the executable cached by the previous test
+    would serve this key and the corrupt file would never be read — clear
+    the module state so the deserialize-failure path actually runs."""
     from arap_flow_tpu.models.arap import solve_and_raster_canvas
     from arap_flow_tpu.utils import aot
 
+    aot._LOADED.clear()
+    aot._FAILED.clear()
     pack = str(tmp_path / "pack2")
     batched, rgb_b, offs = _problem(seed=5)
     cfg = _cfg()

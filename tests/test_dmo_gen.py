@@ -17,10 +17,10 @@ H, W = 64, 80
 DX, DY = 3, 2
 
 
-def _make_masks(root, n_frames=3):
+def _make_masks(root, n_frames=3, h=H, w=W):
     os.makedirs(osp.join(root, "orgMasks", "seq0"), exist_ok=True)
     for t in range(n_frames):
-        m = np.zeros((H, W), np.uint8)
+        m = np.zeros((h, w), np.uint8)
         y0, x0 = 14 + DY * t, 10 + DX * t
         m[y0 : y0 + 28, x0 : x0 + 32] = 1
         Image.fromarray(m).save(osp.join(root, "orgMasks", "seq0", f"{t:05d}.png"))
@@ -89,3 +89,30 @@ def test_dual_texture_sets_share_flow_byte_identical(tmp_path):
             dtype=np.int16)
         assert np.abs(w1 - i1).mean() > 0.5
     assert n_checked >= 1, "no pairs produced by set 0"
+
+
+def test_dual_texture_sets_portrait_masks(tmp_path):
+    """PORTRAIT annotation masks (H > W): para_gen's preprocessing transposes
+    set 0's products (scale_rotate, para_gen.py:122-135), so set 1's
+    replication must apply the SAME transpose to its frames — otherwise its
+    inpRGB/wRGB would be geometrically inconsistent with the shared Flow
+    (the round-5 review finding)."""
+    masks = str(tmp_path / "masks")
+    out = str(tmp_path / "out")
+    _make_masks(masks, h=W, w=H)  # 80x64 portrait -> pipeline transposes
+    run(masks, out, fds=[1], seed=3, texture_sets=2, solver_cfg=CFG)
+    f0 = osp.join(out, "set0", "fd1", "Flow", "seq0", "00000.flo")
+    f1 = osp.join(out, "set1", "fd1", "Flow", "seq0", "00000.flo")
+    assert osp.exists(f0) and osp.exists(f1)
+    with open(f0, "rb") as a, open(f1, "rb") as b:
+        assert a.read() == b.read()
+    # set-1 appearance products must be in the TRANSPOSED (landscape)
+    # orientation, matching set 0's
+    i0 = np.asarray(Image.open(
+        osp.join(out, "set0", "fd1", "inpRGB", "seq0", "00000.png")))
+    i1 = np.asarray(Image.open(
+        osp.join(out, "set1", "fd1", "inpRGB", "seq0", "00000.png")))
+    w1 = np.asarray(Image.open(
+        osp.join(out, "set1", "fd1", "wRGB", "seq0", "00000.png")))
+    assert i1.shape == i0.shape == (H, W, 3)
+    assert w1.shape[:2] == (H, W)
