@@ -120,17 +120,24 @@ def main():
             f"-> {len(triples) / t:.3f} pairs/s end-to-end",
             flush=True,
         )
-        check_flow_accuracy(out, osp.join(root, "data"))
+        # non-rigid threshold: 0.8 px at full-res matching; the ds2 mode's
+        # documented contract is coarser matches for ~4x cheaper matching —
+        # its measured non-rigid cost is 0.45 -> 0.84 px median interior EPE
+        # (round 5), gated at 1.2 so a further regression still fails
+        check_flow_accuracy(out, osp.join(root, "data"),
+                            nr_thresh=0.8 if ds == 1 else 1.2)
 
 
-def check_flow_accuracy(out_dir, data_dir):
+def check_flow_accuracy(out_dir, data_dir, nr_thresh=0.8):
     """Correctness gate on the bench products, pair (0, 1): seg 1 translates
     rigidly (median flow must match its displacement within 1 px); seg 2 is
     NON-RIGID (translation + analytic sinusoidal interior deformation) and is
-    gated by median per-pixel EPE < 0.8 px against the analytic flow — a
-    matcher/filter/solver regression that only hurts non-rigid recovery now
-    fails this gate. Segment ids come from the ORIGINAL annotation mask (the
-    pipeline's saved inpMasks are binary ARAP masks)."""
+    gated by median per-pixel EPE < `nr_thresh` px against the analytic flow
+    (0.8 for full-res matching; 1.2 for --match_downscale 2, whose measured
+    non-rigid cost is 0.45 -> 0.84 px) — a matcher/filter/solver regression
+    that only hurts non-rigid recovery now fails this gate. Segment ids come
+    from the ORIGINAL annotation mask (the pipeline's saved inpMasks are
+    binary ARAP masks)."""
     import numpy as np
 
     from arap_flow_tpu.io import flo as flo_io
@@ -160,7 +167,7 @@ def check_flow_accuracy(out_dir, data_dir):
     c0 = (p0[1][0] + NR_RY, p0[1][1] + NR_RX)
     c1 = (p1[1][0] + NR_RY, p1[1][1] + NR_RX)
     good, msg = nr_check_epe(u, v, mask, 2, c0, c1, NR_RY, NR_RX, NR_AMP, 0,
-                             label="seg2")
+                             thresh=nr_thresh, label="seg2")
     ok &= good
     print(msg)
     if not ok:
