@@ -827,7 +827,16 @@ def main_pipeline(
         # --size is (w, h); the matcher program compiles only when the frame
         # shape is known up front
         fshape = (flags.size[1], flags.size[0]) if flags.size else None
-        prewarm(deformer.cfg, deformer.weights,
+        # ARAP_WARMUP_FULL=1: precompile the ENTIRE bucket ladder (31 shapes)
+        # instead of the 13 common ones — 2-3x the warmup wall time, zero
+        # on-demand compiles afterwards; pair with --exec_pack so one builder
+        # process pays it for the whole worker farm
+        buckets = None
+        if os.environ.get("ARAP_WARMUP_FULL", "") not in ("", "0", "off"):
+            from ..models.arap import CROP_BUCKETS
+
+            buckets = CROP_BUCKETS
+        prewarm(deformer.cfg, deformer.weights, buckets=buckets,
                 batched=flags.mode in ("batched", "sharded"),
                 frame_shape=fshape,
                 match_downscale=flags.match_downscale, mesh=mesh)

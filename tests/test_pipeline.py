@@ -161,6 +161,31 @@ def test_prewarm_compiles_bucket_programs():
     prewarm(cfg, ArapWeights(), buckets=((32, 64),), batched=False)
 
 
+def test_warmup_full_env_selects_whole_ladder(tmp_path, monkeypatch):
+    """ARAP_WARMUP_FULL=1 routes --warmup over the ENTIRE bucket ladder
+    (CROP_BUCKETS) instead of the 13-shape prewarm subset — the full-ladder
+    cold-start option (pairs with --exec_pack for a farm builder process)."""
+    from arap_flow_tpu.models.arap import CROP_BUCKETS
+    from arap_flow_tpu.pipeline import para_gen as pg
+
+    captured = {}
+
+    def fake_prewarm(cfg, weights, buckets=None, **kw):
+        captured["buckets"] = buckets
+
+    monkeypatch.setattr(pg, "prewarm", fake_prewarm)
+    inp, out = str(tmp_path / "d"), str(tmp_path / "o")
+    _make_dataset(inp, n_frames=2)
+    for env, expect in (("1", CROP_BUCKETS), ("", None)):
+        monkeypatch.setenv("ARAP_WARMUP_FULL", env)
+        pg.main_pipeline(
+            PipelineFlags(input=inp, output=out, fd=1, seed=0,
+                          mode="batched", warmup=True),
+            solver_cfg=CFG,
+        )
+        assert captured.pop("buckets") == expect
+
+
 def test_prewarm_sharded_warms_the_sharded_executable():
     """--mode sharded --warmup must warm the jit(shard_map) program the
     sharded dispatch runs (a different top-level executable from the
