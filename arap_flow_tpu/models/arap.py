@@ -239,6 +239,15 @@ class ArapDeformer:
         self.weights = weights
         self.pin_border = pin_border
         self.keep_state = keep_state
+        if keep_state and crop:
+            # the bucketed canvas program returns (flow, wrgb, wmask) only —
+            # the solver state never leaves the device on the crop path, so
+            # honoring keep_state here is impossible; fail loudly instead of
+            # returning DeformResult(state=None) and surprising the caller
+            raise ValueError(
+                "keep_state=True requires crop=False (the bucketed canvas "
+                "path does not fetch the solver state)"
+            )
         self.crop = crop
         self.crop_buckets = crop_buckets
         assert raster in ("device", "host"), raster

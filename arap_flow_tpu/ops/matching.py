@@ -283,18 +283,6 @@ def _grid(H: int, W: int):
     return gx, gy
 
 
-def _rotate_about_center(im: jnp.ndarray, theta: float) -> jnp.ndarray:
-    """Sample im at positions rotated by +theta about the image center:
-    out(q) = im(R_θ(q−c) + c)."""
-    H, W = im.shape
-    cy, cx = (H - 1) / 2.0, (W - 1) / 2.0
-    gx, gy = _grid(H, W)
-    ca, sa = float(np.cos(theta)), float(np.sin(theta))
-    qx = ca * (gx - cx) - sa * (gy - cy) + cx
-    qy = sa * (gx - cx) + ca * (gy - cy) + cy
-    return _bilinear(im, qx, qy)
-
-
 def _pyramid_flow_impl(
     g1: jnp.ndarray,
     g2: jnp.ndarray,
@@ -662,12 +650,15 @@ def match_images_batched(
     refine_passes: int = 1,
     subpatch: bool = False,
 ) -> list:
-    """Matching over many (rgb1, rgb2) pairs: per-pair programs, one compile
-    per frame shape. A vmapped multi-pair program was measured SLOWER than
-    sequential per-pair matching (1.01 vs 0.59 s/pair at 854×480 — the fused
-    pyramids go memory-bound), so this is a thin loop kept for API parity
-    with the reference's batch drivers. Returns a list of (N_i, 5) match
-    arrays, same contract as match_images."""
+    """Matching over many (rgb1, rgb2) pairs: a thin sequential loop kept
+    for API parity with the reference's batch drivers. Returns a list of
+    (N_i, 5) match arrays, same contract as match_images.
+
+    NOTE: the production multi-pair path is match_images_dispatch_multi /
+    match_grid_multi (one vmapped program per MATCH_SUBBATCH same-shaped
+    pairs — measured 0.31 -> 0.13 s/pair at 854x480 with the fused Pallas
+    kernels; an early pre-kernel vmap experiment measured slower, which no
+    longer holds). Prefer the dispatch API for throughput work."""
     return [
         match_images(r1, r2, radius=radius, stride=stride, patch=patch,
                      levels=levels, fb_threshold=fb_threshold,

@@ -74,16 +74,13 @@ def solve_pyramid(
 
     x_c, flow_c = S.solve(ops_c, cfg)
 
-    flow_f, angle_f = _upsample_flow(flow_c, x_c[2], H, W)
-    x0 = jnp.concatenate([ops_f.grid + flow_f, angle_f[None]])
-    # zero init outside the solve region (excluded pixels stay at rest)
-    x0 = jnp.where(ops_f.mask[None] > 0, x0,
-                   jnp.concatenate([ops_f.grid,
-                                    jnp.zeros((1, H, W), jnp.float32)]))
-
     fine_cfg = cfg._replace(num_anneal=fine_anneal)
     fine_cfg = fine_cfg.resolve()
-    x = _fine_solve(x0, ops_f, fine_cfg.dynamic, fine_cfg.static_key)
+    # the upsample + init assembly runs INSIDE the fine-solve jit: eager jnp
+    # ops each mint a relay compile on this platform, and eager-produced
+    # inputs can re-fingerprint the fine executable (CLAUDE.md)
+    x = _fine_solve_from_coarse(flow_c, x_c[2], ops_f, fine_cfg.dynamic,
+                                fine_cfg.static_key)
     return x, x[:2] - ops_f.grid
 
 
@@ -91,6 +88,19 @@ from functools import partial
 
 
 @partial(jax.jit, static_argnames=("static_key",))
+def _fine_solve_from_coarse(flow_c, angle_c, ops, dyn, static_key):
+    """Upsample the coarse solution and run the fine anneal, all as ONE
+    compiled program (see solve_pyramid)."""
+    H, W = ops.mask.shape
+    flow_f, angle_f = _upsample_flow(flow_c, angle_c, H, W)
+    x0 = jnp.concatenate([ops.grid + flow_f, angle_f[None]])
+    # zero init outside the solve region (excluded pixels stay at rest)
+    x0 = jnp.where(ops.mask[None] > 0, x0,
+                   jnp.concatenate([ops.grid,
+                                    jnp.zeros((1, H, W), jnp.float32)]))
+    return _fine_solve(x0, ops, dyn, static_key)
+
+
 def _fine_solve(x0, ops, dyn, static_key):
     cfg = S._rebuild_config(dyn, static_key)
     pcg_iters = jnp.float32(cfg.pcg_iters)

@@ -447,15 +447,33 @@ def batch_kernel_route(shape, cfg: SolverConfig) -> bool:
     )
 
 
+def uniform_weights(ops_batched) -> bool:
+    """True when every batch entry shares the same energy weights.
+
+    The multi-problem resident kernel consumes ONE (wf2, wr2) pair for the
+    whole batch (SMEM scalars, pcg_pallas_batched) — a non-uniform batch
+    must take the vmapped XLA route, which honors per-problem weights;
+    otherwise entries 1..B-1 would silently solve with entry 0's energy.
+    Host-side check: batch dispatches use fresh host uploads (CLAUDE.md),
+    so the leaves are numpy and this costs nothing; device-array callers
+    pay one tiny (B,)-scalar fetch."""
+    import numpy as _np
+
+    wf2 = _np.asarray(ops_batched.wf2).ravel()
+    wr2 = _np.asarray(ops_batched.wr2).ravel()
+    return bool((wf2 == wf2[0]).all() and (wr2 == wr2[0]).all())
+
+
 def solve_batch(ops: ArapOperands, cfg: SolverConfig):
     """Batched solve over the leading axis of every operand leaf; returns
     (states (B,3,H,W), flows (B,2,H,W)). Replaces the reference's one-CUDA-
     process-per-problem task farm (para_gen.py:560-567) with on-chip batching.
 
-    NOTE: the multi-problem kernel path assumes all batch entries share the
-    same energy weights (bucket batches built by pipeline/batch.py do)."""
+    Batches with non-uniform per-problem energy weights take the vmapped
+    XLA route (the kernel shares one weight pair across the batch —
+    uniform_weights)."""
     cfg = _resolve_for(ops, cfg)
-    if batch_kernel_route(ops.mask.shape, cfg):
+    if batch_kernel_route(ops.mask.shape, cfg) and uniform_weights(ops):
         from .pallas_pcg import tall_kernel_enabled
 
         xs, flows, _ = _solve_batch_kernel_impl(

@@ -96,7 +96,10 @@ def solve_batch_sharded(ops_batched, cfg: S.SolverConfig, mesh: Mesh):
     # route on the LOCAL per-device batch shape — the kernel-VMEM gate each
     # device would apply to its own shard (matches solve_batch's routing)
     local = (max(B // mesh.shape["data"], 1), H, W)
-    use_kernel = S.batch_kernel_route(local, cfg)
+    # weight-uniformity gate matches solve_batch: the kernel consumes one
+    # (wf2, wr2) pair per local batch
+    use_kernel = S.batch_kernel_route(local, cfg) and S.uniform_weights(
+        ops_batched)
     if use_kernel:
         from ..ops.pallas_pcg import tall_kernel_enabled
 

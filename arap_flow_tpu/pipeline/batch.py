@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..io.constraints import add_border_pins
-from ..models.arap import DeformResult, pick_bucket, solve_and_raster_batch, _solve_and_raster
+from ..models.arap import DeformResult, pick_bucket, _solve_and_raster
 from ..ops import energy as E
 from ..ops.solver import SolverConfig
 
@@ -118,7 +118,7 @@ def make_task(
     box, where exactness only needs a 1-px excluded rim (inert-pixel +
     border-pin lemmas, docs/PARITY.md) — keeping it tight drops segments
     into smaller buckets for the deep PCG kernel."""
-    from ..models.arap import directional_pads, place_span
+    from ..models.arap import place_span
 
     H, W = arap_mask.shape
     cons = np.asarray(cons, np.int32).reshape(-1, 4)
@@ -274,8 +274,17 @@ class BatchRunner:
             self._dispatch(key, buf[:step], step)
             del buf[:step]
 
-    def add_fallback(self, pair_idx, seg_id, rgb, arap_mask, cons) -> None:
-        """Full-frame fallback solve (async dispatch; fetched in finish)."""
+    def add_fallback(self, pair_idx, seg_id, rgb, arap_mask, cons,
+                     pin_border: bool = True) -> None:
+        """Full-frame fallback solve (async dispatch; fetched in finish).
+
+        Pins the image border itself (same contract as make_task/add —
+        main.cpp:95-101 always pins); pass pin_border=False only when the
+        constraints already carry the border pins."""
+        if pin_border:
+            H, W = np.asarray(arap_mask).shape
+            cons = add_border_pins(np.asarray(cons, np.int32).reshape(-1, 4),
+                                   W, H)
         ops = E.build_compact(np.asarray(arap_mask), cons, self.weights)
         rgb_u8 = jnp.asarray(np.ascontiguousarray(rgb.transpose(2, 0, 1)))
         _, flow, wrgb, wmask = _solve_and_raster(ops, rgb_u8, self.cfg)

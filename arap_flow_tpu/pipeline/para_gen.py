@@ -604,13 +604,9 @@ def prep_chunk_finish(flags: PipelineFlags, pairs, handles, weights, bgpool):
             if t is not None:
                 tasks.append(t)
             else:
-                from ..io.constraints import add_border_pins
-
-                H, W = arap_mask.shape
-                fallbacks.append(
-                    (idx, seg_id, w.out1, arap_mask,
-                     add_border_pins(cons, W, H))
-                )
+                # raw constraints: add_fallback pins the border itself
+                # (duplicated pins would double-weight the border fit terms)
+                fallbacks.append((idx, seg_id, w.out1, arap_mask, cons))
     return works, tasks, fallbacks
 
 

@@ -88,6 +88,46 @@ def test_batched_kernel_honors_nonuniform_schedule():
     assert np.abs(np.asarray(flows_k) - np.asarray(flows_u)).max() > 1e-4
 
 
+def test_solve_batch_nonuniform_weights_honored():
+    """solve_batch with PER-PROBLEM energy weights must honor every entry's
+    weights even when the shape fits the resident kernel (which consumes ONE
+    weight pair for the whole batch): the uniform_weights gate routes such
+    batches to the vmapped XLA path. Pre-fix, entries 1..B-1 silently solved
+    with entry 0's energy whenever VMEM routing chose the kernel."""
+    from arap_flow_tpu.ops.solver import (SolverConfig, batch_kernel_route,
+                                          solve, solve_batch, uniform_weights)
+
+    weights = [E.ArapWeights(w_fit=100.0, w_reg=0.01),
+               E.ArapWeights(w_fit=4.0, w_reg=1.0)]
+    probs = []
+    for s, w in enumerate(weights):
+        rng = np.random.default_rng(s)
+        H, W = 16, 128
+        arap_mask = np.full((H, W), 255, np.uint8)
+        arap_mask[2 : H - 2, 8 : W - 8] = 0
+        ys, xs = np.mgrid[3 : H - 3 : 4, 10 : W - 10 : 12]
+        cons = np.stack(
+            [xs.ravel(), ys.ravel(),
+             xs.ravel() + rng.integers(-3, 4, xs.size),
+             ys.ravel() + rng.integers(-3, 4, xs.size)], 1).astype(np.int32)
+        probs.append(E.build_operands(arap_mask,
+                                      add_border_pins(cons, W, H), w))
+    batched = jax.tree.map(lambda *ls: jnp.stack(ls), *probs)
+    cfg = SolverConfig(num_anneal=2, gn_iters=2, max_pcg_iters=30,
+                       pcg_iters=30.0, backend="pallas").resolve()
+    # the shape DOES fit the kernel, but the weights differ
+    assert batch_kernel_route(batched.mask.shape, cfg)
+    assert not uniform_weights(batched)
+    xs, flows = solve_batch(batched, cfg)
+    for i, (o, w) in enumerate(zip(probs, weights)):
+        _, ref_flow = solve(o, cfg)
+        np.testing.assert_allclose(np.asarray(flows[i]), np.asarray(ref_flow),
+                                   rtol=1e-4, atol=1e-4)
+    # and a uniform batch still takes the kernel gate
+    uni = jax.tree.map(lambda *ls: jnp.stack(ls), *[probs[0], probs[0]])
+    assert uniform_weights(uni)
+
+
 def test_tall_kernels_match_standard():
     """The tall stacked-plane layout kernels (ARAP_TALL_KERNEL probe) are the
     same arithmetic as the standard kernels — 4 stacked rolls replace 12
