@@ -58,9 +58,16 @@ def valid_constraint(x1, y1, x2, y2, msk1: np.ndarray, msk2: np.ndarray) -> bool
 
     Keeps matches that are in-bounds, move by 0 < dist < 60 px, start on an object
     pixel, and land on the same segment id.
+
+    Deliberate deviation: the reference checks only the UPPER bounds, so a
+    negative coordinate (possible in external DeepMatching output) wrap-
+    indexes the mask from the row's end and can validate against the wrong
+    pixel; here negatives are rejected, matching the vectorized
+    filter_matches predicate (the two in-repo implementations must agree).
     """
     if (
-        x1 >= msk1.shape[1]
+        x1 < 0 or y1 < 0 or x2 < 0 or y2 < 0
+        or x1 >= msk1.shape[1]
         or x2 >= msk2.shape[1]
         or y1 >= msk1.shape[0]
         or y2 >= msk2.shape[0]

@@ -98,7 +98,14 @@ def rasterize_warp_exact(
     P0, P1, P2, valid, prio = _triangles(warp, arap_mask)
     C0, C1, C2 = _corner_colors(rgb)
 
-    keep = valid
+    # drop triangles with non-finite corners: a divergent solve's NaN/inf
+    # positions cast to int64 give undefined garbage bboxes, and because
+    # this vectorized scan loops over the GLOBAL max bbox extent, one bad
+    # triangle would stall the whole raster (in the per-triangle C++/
+    # reference loop a bad bbox only inflates that one triangle's scan);
+    # non-finite corners can never cover a pixel, so dropping them is exact
+    finite = (np.isfinite(P0) & np.isfinite(P1) & np.isfinite(P2)).all(axis=1)
+    keep = valid & finite
     P0, P1, P2 = P0[keep], P1[keep], P2[keep]
     C0, C1, C2 = C0[keep], C1[keep], C2[keep]
     prio = prio[keep]

@@ -105,7 +105,10 @@ class AsyncWriter:
             self.lib.writer_drain()
 
     def errors(self) -> int:
-        return int(self.lib.writer_errors()) if self.started else 0
+        """Failed-write count; the native counter persists after close()
+        (callers check it AFTER draining to decide whether the product tree
+        can be trusted — para_gen's end-of-run sweep)."""
+        return int(self.lib.writer_errors()) if self.lib is not None else 0
 
     def close(self):
         if self.started:

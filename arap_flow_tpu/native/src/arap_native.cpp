@@ -209,7 +209,14 @@ void worker_loop() {
       }
     }
     if (rc != 0) g_errors.fetch_add(1);
-    g_inflight.fetch_sub(1);
+    {
+      // predicate state must change UNDER the condvar's mutex: decrementing
+      // outside g_mu lets writer_drain() evaluate its predicate between the
+      // fetch_sub and notify_all (lost wakeup -> drain blocks forever at the
+      // end of a run)
+      std::lock_guard<std::mutex> lk(g_mu);
+      g_inflight.fetch_sub(1);
+    }
     g_cv.notify_all();
   }
 }
@@ -217,6 +224,9 @@ void worker_loop() {
 
 void writer_start(int nthreads) {
   g_stop.store(false);
+  g_errors.store(0);  // per-writer-lifecycle counter (a pipeline run's
+                      // end-of-run check must not see a previous run's
+                      // failures in the same process)
   for (int i = 0; i < nthreads; ++i) g_threads.emplace_back(worker_loop);
 }
 

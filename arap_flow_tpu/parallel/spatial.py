@@ -58,17 +58,21 @@ def _psum_dot(a, b, axis):
     return lax.psum(jnp.sum(a * b), axis)
 
 
-def _pcg_spatial(ops_pad, s, c, jtf, diag, cfg: S.SolverConfig, axis: str):
+def _pcg_spatial(ops_pad, s, c, jtf, diag, cfg: S.SolverConfig, axis: str,
+                 pcg_iters=None):
     """Jacobi-PCG with halo-exchanged JtJ applies and psum reductions.
 
-    All state lives unpadded (local rows); only JtJ inputs get halos."""
+    All state lives unpadded (local rows); only JtJ inputs get halos.
+    `pcg_iters` overrides cfg.pcg_iters (the per-anneal-step budget of the
+    non-uniform schedule)."""
     b = -jtf
     pre = S.guarded_invert(diag)
     r0 = b
     z0 = pre * r0
     p0 = z0
     rz0 = _psum_dot(r0, z0, axis)
-    budget = jnp.minimum(jnp.float32(cfg.max_pcg_iters), jnp.float32(cfg.pcg_iters))
+    iters = cfg.pcg_iters if pcg_iters is None else pcg_iters
+    budget = jnp.minimum(jnp.float32(cfg.max_pcg_iters), jnp.float32(iters))
     q_tol = jnp.float32(cfg.q_tolerance)
     rz_tol = jnp.float32(cfg.rz_tolerance)
 
@@ -108,11 +112,19 @@ def _pcg_spatial(ops_pad, s, c, jtf, diag, cfg: S.SolverConfig, axis: str):
 
 
 def _solve_one_spatial(ops: ArapOperands, cfg: S.SolverConfig, axis: str):
-    """Full annealed GN solve on spatially-sharded rows (one problem)."""
+    """Full annealed GN solve on spatially-sharded rows (one problem).
+
+    Honors the non-uniform schedule (pcg_iters_early/anneal_split) exactly
+    like anneal_solve_stats / _solve_batch_kernel_impl — the spatial path
+    must not silently diverge from the data-parallel paths for the same cfg.
+    """
     ops_pad = _pad_ops(ops)
     x0 = E.init_state(ops)
+    pcg_late = jnp.float32(cfg.pcg_iters)
+    pcg_early = jnp.float32(cfg.pcg_iters_early)
+    split = jnp.float32(cfg.anneal_split)
 
-    def gn(x, cimg_pad):
+    def gn(x, cimg_pad, iters):
         xh = _halo(x, axis)
         sh, ch = E.trig(xh)
         jtf, diag = E.jtf_and_diag(xh, ops_pad, cimg_pad)
@@ -120,14 +132,19 @@ def _solve_one_spatial(ops: ArapOperands, cfg: S.SolverConfig, axis: str):
         diag = diag[..., 1:-1, :]
         s = sh[..., 1:-1, :]
         c = ch[..., 1:-1, :]
-        delta = _pcg_spatial(ops_pad, s, c, jtf, diag, cfg, axis)
+        delta = _pcg_spatial(ops_pad, s, c, jtf, diag, cfg, axis,
+                             pcg_iters=iters)
         return x + delta
 
     def outer(i, x):
         alpha = (i + 1.0) / cfg.num_anneal
         cimg_pad = E.anneal_constraints(ops_pad, alpha)
+        iters = jnp.where(
+            jnp.logical_and(pcg_early > 0.0, i.astype(jnp.float32) < split),
+            pcg_early, pcg_late,
+        )
         return lax.fori_loop(
-            0, cfg.gn_iters, lambda _, xx: gn(xx, cimg_pad), x
+            0, cfg.gn_iters, lambda _, xx: gn(xx, cimg_pad, iters), x
         )
 
     x = lax.fori_loop(0, cfg.num_anneal, outer, x0)
@@ -140,6 +157,45 @@ def _leaf_spec(leaf) -> P:
     return P("data")
 
 
+from functools import lru_cache
+
+
+@lru_cache(maxsize=None)
+def _solve_spatial_fn(mesh: Mesh, static_key, leaf_ndims: tuple):
+    """Cached jit(shard_map) for the spatial solve: keyed on the mesh, the
+    STATIC half of SolverConfig, and the operand leaf ranks — dynamic floats
+    stay traced, so schedule sweeps reuse ONE executable (a per-call closure
+    would re-trace and recompile every invocation: 40-230 s/program through
+    this platform's relay, and it baked pcg_iters/q_tolerance as constants
+    in violation of the CLAUDE.md static/dynamic split invariant)."""
+    def spec_for(nd):
+        if nd >= 3:
+            return P("data", *([None] * (nd - 3)), "space", None)
+        return P("data")
+
+    # ArapOperands is a flat NamedTuple of array leaves: field order ==
+    # tree-leaf order, so the spec pytree rebuilds from the ranks alone
+    in_specs = ArapOperands(*(spec_for(nd) for nd in leaf_ndims))
+    out_spec = P("data", None, "space", None)
+    n_dyn = len(S.SolverConfig().resolve().dynamic)
+    dyn_specs = tuple(P() for _ in range(n_dyn))  # replicated scalars
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(in_specs, dyn_specs),
+        out_specs=(out_spec, out_spec),
+        check_vma=False,
+    )
+    def run(ops_local, dyn):
+        cfg = S._rebuild_config(dyn, static_key)
+        return jax.vmap(
+            lambda o: _solve_one_spatial(o, cfg, "space")
+        )(ops_local)
+
+    return jax.jit(run)
+
+
 def solve_spatial(ops_batched: ArapOperands, cfg: S.SolverConfig, mesh: Mesh):
     """Batched solve with batch over 'data' and rows over 'space'.
 
@@ -147,19 +203,8 @@ def solve_spatial(ops_batched: ArapOperands, cfg: S.SolverConfig, mesh: Mesh):
     divisible by the data-axis size; H divisible by the space-axis size).
     Returns (states (B,3,H,W), flows (B,2,H,W)).
     """
-    in_specs = jax.tree.map(_leaf_spec, ops_batched)
-    out_spec = P("data", None, "space", None)
-
-    @partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(in_specs,),
-        out_specs=(out_spec, out_spec),
-        check_vma=False,
-    )
-    def run(ops_local):
-        return jax.vmap(
-            lambda o: _solve_one_spatial(o, cfg, "space")
-        )(ops_local)
-
-    return jax.jit(run)(ops_batched)
+    cfg = cfg.resolve()
+    leaf_ndims = tuple(l.ndim for l in jax.tree.leaves(ops_batched))
+    fn = _solve_spatial_fn(mesh, cfg.static_key, leaf_ndims)
+    dyn = jax.tree.map(jnp.float32, cfg.dynamic)
+    return fn(ops_batched, dyn)

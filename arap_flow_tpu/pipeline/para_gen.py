@@ -122,9 +122,15 @@ class PipelineFlags:
 def scale_rotate(im: Image.Image, mk: Image.Image, size):
     """Preprocessing parity (para_gen.py:253-291): transpose portrait frames,
     then resize (+10px slack) and center-crop to `size` (w, h)."""
-    assert im.size == mk.size, (
-        f"Image and mask must be of the same size but given {im.size} vs {mk.size}"
-    )
+    if im.size != mk.size:
+        # ValueError, not assert: this is a DATA error (one corrupt pair),
+        # and the per-pair isolation handlers deliberately re-raise
+        # AssertionError (programming errors) while skipping data failures —
+        # an assert here would let one bad mask kill a whole batched run
+        raise ValueError(
+            f"Image and mask must be of the same size but given {im.size} "
+            f"vs {mk.size}"
+        )
     preprocessed = False
     if im.size[1] > im.size[0]:
         im = im.transpose(Image.TRANSPOSE)
@@ -229,7 +235,13 @@ def scan_pairs(flags: PipelineFlags) -> list[PairPaths]:
                 num = reg.search(f1)
                 n = "{:0" + str(len(num.group(1))) + "d}"
                 nxt = int(num.group(1)) + flags.fd
-                f2 = f.replace(num.group(1), n.format(nxt))
+                # substitute ONLY at the matched span (the digit run before
+                # the extension): str.replace would also rewrite an earlier
+                # occurrence of the same digits in the stem ('001_001.jpg'
+                # -> '002_002' instead of '001_002', silently dropping or
+                # mispairing frames)
+                a, b = num.span(1)
+                f2 = f[:a] + n.format(nxt) + f[b:]
                 if not osp.exists(osp.join(rgb_org, seq, f2 + ext)) or not osp.exists(
                     osp.join(msk_org, seq, f2 + ".png")
                 ):
@@ -379,11 +391,15 @@ def decode_pair(flags: PipelineFlags, p: PairPaths):
 def prep_pair(
     flags: PipelineFlags, p: PairPaths, bgpool: BackgroundPool,
     prematched: np.ndarray | None = None,
+    decoded: tuple | None = None,
 ) -> PairWork | None:
     """Host + matcher stage: preprocessing, matching, filtering, backgrounds,
-    per-segment mask/constraint splitting. No solver work."""
+    per-segment mask/constraint splitting. No solver work. `decoded` reuses
+    a decode_pair result from the match-dispatch phase (batched mode decodes
+    once, not twice per pair)."""
     _ensure_dirs(p)
-    decoded = decode_pair(flags, p)
+    if decoded is None:
+        decoded = decode_pair(flags, p)
     if decoded is None:
         return None
     im1, mk1, im2, mk2, src1, src2, src1_path, src2_path = decoded
@@ -550,7 +566,7 @@ def prep_chunk_dispatch_match(flags: PipelineFlags, pairs):
                         [(d[4], d[5]) for _, d in padded], radius=100,
                         downscale=flags.match_downscale)
                     handles.extend(
-                        (p, h, d[1])
+                        (p, h, d)
                         for (p, d), h in zip(sub, hs[:n_real]))
                 except Exception as e:
                     log.warning("multi match dispatch failed (%s); "
@@ -560,7 +576,7 @@ def prep_chunk_dispatch_match(flags: PipelineFlags, pairs):
                 try:
                     handles.append((p, match_images_dispatch(
                         d[4], d[5], radius=100,
-                        downscale=flags.match_downscale), d[1]))
+                        downscale=flags.match_downscale), d))
                 except Exception as e:
                     log.warning("pair match dispatch failed: %s (%s)",
                                 p.rgb1_org, e)
@@ -573,13 +589,18 @@ def prep_chunk_finish(flags: PipelineFlags, pairs, handles, weights, bgpool):
     from .batch import make_task
 
     prematched: dict = {}
+    predecoded: dict = {}
     if handles is not None:
         with TIMER.stage("matching"):
-            for p, h, mk1 in handles:
+            for p, h, d in handles:
+                # phase A already decoded+preprocessed this pair — hand the
+                # arrays to prep_pair so it doesn't decode AGAIN (~100 ms/
+                # frame of duplicated host work per pair, measured round 5)
+                predecoded[id(p)] = d
                 try:
                     # selection restricted to the annotated objects: the
                     # constraint filter drops off-object matches anyway
-                    m = match_images_fetch(h, roi_mask=mk1)
+                    m = match_images_fetch(h, roi_mask=d[1])
                     prematched[id(p)] = m[:, :4].astype(np.int32)
                 except Exception as e:
                     log.warning("pair matching failed: %s (%s)",
@@ -589,7 +610,8 @@ def prep_chunk_finish(flags: PipelineFlags, pairs, handles, weights, bgpool):
     tasks, fallbacks = [], []
     for p in pairs:
         try:
-            w = prep_pair(flags, p, bgpool, prematched.get(id(p)))
+            w = prep_pair(flags, p, bgpool, prematched.get(id(p)),
+                          decoded=predecoded.get(id(p)))
         except AssertionError:
             raise
         except Exception as e:
@@ -843,8 +865,10 @@ def main_pipeline(
     try:
         from ..native.runtime import AsyncWriter, native_available
 
-        if native_available():
-            writer = AsyncWriter(threads=4)
+        # FrameworkConfig knobs are live: async_io=False forces synchronous
+        # writes (debugging write ordering), io_threads sizes the pool
+        if fw.async_io and native_available():
+            writer = AsyncWriter(threads=max(1, int(fw.io_threads)))
     except Exception:
         writer = None
 
@@ -969,6 +993,17 @@ def main_pipeline(
     finally:
         if writer is not None:
             writer.close()
+            n_err = writer.errors()
+            if n_err:
+                # failed/truncated async writes (disk full, perms): surface
+                # them — the existence sweep below checks presence only, so
+                # a truncated file would otherwise enter all_files.list
+                log.error(
+                    "%d async product writes FAILED (possibly truncated "
+                    "files on disk) — the all_files.list existence sweep "
+                    "cannot detect truncation; verify the output tree",
+                    n_err,
+                )
     print(f"done in {(time.time() - begin) / 60:.2f} mins")
     if os.environ.get("ARAP_PROFILE"):
         print(TIMER.report())
