@@ -161,6 +161,26 @@ def test_prewarm_compiles_bucket_programs():
     prewarm(cfg, ArapWeights(), buckets=((32, 64),), batched=False)
 
 
+def test_scan_pairs_repeated_digits_in_stem(tmp_path):
+    """Frame stems where the frame number also appears earlier ('001_001')
+    must pair to '001_002', not '002_002' (the round-5 str.replace fix:
+    substitution happens at the regex match span only)."""
+    from arap_flow_tpu.pipeline.para_gen import scan_pairs
+
+    inp = str(tmp_path / "d")
+    for stem in ("001_001", "001_002"):
+        for sub, arr in (("orgRGB", np.zeros((8, 10, 3), np.uint8)),
+                         ("orgMasks", np.zeros((8, 10), np.uint8))):
+            os.makedirs(osp.join(inp, sub, "seq0"), exist_ok=True)
+            ext = ".jpg" if sub == "orgRGB" else ".png"
+            Image.fromarray(arr).save(osp.join(inp, sub, "seq0", stem + ext))
+    pairs = scan_pairs(PipelineFlags(input=inp, output=str(tmp_path / "o"),
+                                     fd=1))
+    assert len(pairs) == 1
+    assert pairs[0].rgb1_org.endswith("001_001.jpg")
+    assert pairs[0].rgb2_org.endswith("001_002.jpg")
+
+
 def test_warmup_full_env_selects_whole_ladder(tmp_path, monkeypatch):
     """ARAP_WARMUP_FULL=1 routes --warmup over the ENTIRE bucket ladder
     (CROP_BUCKETS) instead of the 13-shape prewarm subset — the full-ladder
