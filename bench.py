@@ -156,7 +156,9 @@ def main():
     # discarding the whole run.
     try:
         e2e = _e2e_measure()
-    except Exception as exc:  # noqa: BLE001 — any e2e failure is non-fatal
+    except (Exception, SystemExit) as exc:  # noqa: BLE001 — non-fatal;
+        # SystemExit included: check_flow_accuracy fails via SystemExit,
+        # which would otherwise escape and discard the measured headline
         e2e = {"e2e_error": f"{type(exc).__name__}: {exc}"}
 
     print(

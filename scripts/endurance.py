@@ -40,7 +40,8 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 from PIL import Image
 
-from synth_nonrigid import draw_nonrigid, nr_check_epe
+from synth_nonrigid import (bounce as _bounce, draw_nonrigid, make_textures,
+                            nr_check_epe)
 
 H, W = 480, 854
 BLOCK = 8  # frames per size block; pairs inside a block are rigid
@@ -61,12 +62,6 @@ def _sizes(t):
     return s1, (max(12, 2 * s2[0] // 3), max(20, 2 * s2[1] // 3))
 
 
-def _bounce(t, step, lo, hi):
-    span = hi - lo
-    ph = (step * t) % (2 * span)
-    return lo + (ph if ph <= span else 2 * span - ph)
-
-
 def _nr_amp(ry, rx):
     """Non-rigid amplitude for object 2 at semi-axes (ry, rx): scaled to the
     object (the field is defined in normalized material coords), disabled for
@@ -85,15 +80,7 @@ def _centers(t):
 
 
 def make_dataset(root, n_frames, seed=0):
-    rng = np.random.default_rng(seed)
-    base = np.kron(
-        rng.uniform(40, 255, (H // 8 + 2, W // 8 + 2, 3)), np.ones((8, 8, 1))
-    )[:H, :W]
-    detail = np.kron(
-        rng.uniform(-30, 30, (H // 2 + 1, W // 2 + 1, 3)), np.ones((2, 2, 1))
-    )[:H, :W]
-    tex = np.clip(base + detail, 0, 255).astype(np.uint8)
-    bg = (np.clip(base[::-1] * 0.4, 0, 255)).astype(np.uint8)
+    tex, bg = make_textures(H, W, seed)
     os.makedirs(osp.join(root, "orgRGB", "seq0"), exist_ok=True)
     os.makedirs(osp.join(root, "orgMasks", "seq0"), exist_ok=True)
     yy, xx = np.mgrid[0:H, 0:W]

@@ -44,8 +44,12 @@ def main():
     epe = np.sqrt((f[0] - gu) ** 2 + (f[1] - gv) ** 2)
     print(f"f64 EPE vs golden .flo: mean {epe.mean():.4f}px  "
           f"p99 {np.percentile(epe, 99):.4f}px  max {epe.max():.4f}px")
-    print("PASS" if epe.mean() < 0.1 else "FAIL")
+    ok = epe.mean() < 0.1
+    print("PASS" if ok else "FAIL")
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":
-    main()
+    # exit code must reflect the gate (golden_cat512.py pattern) — automation
+    # checking return codes must not record a printed FAIL as success
+    raise SystemExit(main())

@@ -180,27 +180,37 @@ def _multi(n_pairs: int, out_json: str | None) -> None:
     env["JAX_PLATFORMS"] = "cpu"
     curve = []
     for n_workers in (1, 2, 4, 8):
+        # stderr to per-worker FILES, not pipes: pipes are only drained
+        # sequentially after the barrier, so a worker writing > the ~64 KB
+        # pipe buffer (jax log spew) would block BEFORE reaching the barrier
+        # and deadlock the whole stage
+        err_files = [open(osp.join(root, f"stderr_{n_workers}_{i}.log"),
+                          "wb") for i in range(n_workers)]
         procs = [
             subprocess.Popen(
                 [sys.executable, osp.abspath(__file__), str(n_pairs),
                  "--work", str(i), str(n_workers), root],
-                env=env, stdout=subprocess.DEVNULL,
-                stderr=subprocess.PIPE,
+                env=env, stdout=subprocess.DEVNULL, stderr=ef,
             )
-            for i in range(n_workers)
+            for i, ef in enumerate(err_files)
         ]
         errs = []
         try:
-            for p in procs:
-                _, err = p.communicate(timeout=1800)
+            for i, p in enumerate(procs):
+                p.communicate(timeout=1800)
                 if p.returncode != 0:
-                    errs.append(err.decode()[-2000:])
+                    err_files[i].close()
+                    with open(err_files[i].name, "rb") as f:
+                        errs.append(f.read().decode()[-2000:])
         finally:
             # one hung/failed worker must not leave N-1 CPU-bound jax
             # processes contending with whatever the host runs next
             for p in procs:
                 if p.poll() is None:
                     p.kill()
+            for ef in err_files:
+                if not ef.closed:
+                    ef.close()
         assert not errs, "\n".join(errs)
         res = [
             json.load(open(osp.join(root, f"res_{n_workers}_{i}.json")))

@@ -46,7 +46,13 @@ def main():
     epe = np.sqrt((f[0] - gu) ** 2 + (f[1] - gv) ** 2)
     print(f"LM EPE vs golden .flo: mean {epe.mean():.4f} "
           f"p99 {np.percentile(epe, 99):.3f} max {epe.max():.2f}")
+    # regression bound, NOT golden parity: the golden .flo is a truncated-GN
+    # product and LM's trust-region trajectory legitimately differs
+    # (documented 1.52 px, docs/PARITY.md); 2.0 px catches LM breakage
+    ok = epe.mean() < 2.0
+    print("PASS" if ok else "FAIL (LM regression bound 2.0 px)")
+    return 0 if ok else 1
 
 
 if __name__ == "__main__":
-    main()
+    raise SystemExit(main())

@@ -50,15 +50,20 @@ def main():
     ]
     for name, kw in cases:
         kw.setdefault("rotations", DEFAULT_ROTATIONS)
-        t0 = time.time()
 
         def run(kw=kw):
             import jax.numpy as jnp
 
             return match_grid(jnp.asarray(im1), jnp.asarray(im2), **kw)
 
+        # first-call (compile) timed ALONE: folding the warm reps into it
+        # would overstate compile cost by ~6 warm executions and skew the
+        # cross-config comparison this probe exists for
+        t0 = time.time()
+        np.asarray(run()[0])
+        t_first = time.time() - t0
         t = timed(run)
-        print(f"{name}: {t:.3f}s/pair warm   (first-call {time.time() - t0:.0f}s)",
+        print(f"{name}: {t:.3f}s/pair warm   (first-call {t_first:.0f}s)",
               flush=True)
 
 

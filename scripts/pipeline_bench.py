@@ -24,21 +24,12 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 from PIL import Image
 
-from synth_nonrigid import draw_nonrigid, nr_check_epe
+from synth_nonrigid import (bounce as _bounce, draw_nonrigid, make_textures,
+                            nr_check_epe)
 
 # object 2's ellipse semi-axes and non-rigid amplitude: peak interior
 # deformation ~0.55*amp ≈ 3.3 px per frame pair (|Δphase| = 1.0)
 NR_RY, NR_RX, NR_AMP = 60, 90, 6.0
-
-
-def _bounce(t, step, lo, hi):
-    """Triangle-wave drift: |per-frame motion| stays `step` and the value
-    stays inside [lo, hi] for ANY t (objects leaving the frame would change
-    segment bboxes -> new crop buckets -> cold compiles polluting the warm
-    steady-state measurement)."""
-    span = hi - lo
-    ph = (step * t) % (2 * span)
-    return lo + (ph if ph <= span else 2 * span - ph)
 
 
 def object_positions(t):
@@ -51,15 +42,7 @@ def object_positions(t):
 
 
 def make_dataset(root, n_frames, H=480, W=854, seed=0):
-    rng = np.random.default_rng(seed)
-    base = np.kron(
-        rng.uniform(40, 255, (H // 8 + 2, W // 8 + 2, 3)), np.ones((8, 8, 1))
-    )[:H, :W]
-    detail = np.kron(
-        rng.uniform(-30, 30, (H // 2 + 1, W // 2 + 1, 3)), np.ones((2, 2, 1))
-    )[:H, :W]
-    tex = np.clip(base + detail, 0, 255).astype(np.uint8)
-    bg = (np.clip(base[::-1] * 0.4, 0, 255)).astype(np.uint8)
+    tex, bg = make_textures(H, W, seed)
     os.makedirs(osp.join(root, "orgRGB", "seq0"), exist_ok=True)
     os.makedirs(osp.join(root, "orgMasks", "seq0"), exist_ok=True)
     yy, xx = np.mgrid[0:H, 0:W]

@@ -23,6 +23,32 @@ i.e. the full field D as its non-rigid flow component, up to ~0.55*amp px).
 import numpy as np
 
 
+def bounce(t, step, lo, hi):
+    """Triangle-wave drift shared by the bench/endurance datasets:
+    |per-frame motion| stays `step` and the value stays inside [lo, hi] for
+    ANY t (objects leaving the frame would change segment bboxes -> new crop
+    buckets -> cold compiles polluting warm steady-state measurements)."""
+    span = hi - lo
+    ph = (step * t) % (2 * span)
+    return lo + (ph if ph <= span else 2 * span - ph)
+
+
+def make_textures(H, W, seed=0):
+    """The shared synthetic texture pair (object texture, dim background):
+    blocky base + fine detail, matcher-friendly. One definition so the
+    pipeline-bench / endurance / bench-e2e datasets can never desynchronize."""
+    rng = np.random.default_rng(seed)
+    base = np.kron(
+        rng.uniform(40, 255, (H // 8 + 2, W // 8 + 2, 3)), np.ones((8, 8, 1))
+    )[:H, :W]
+    detail = np.kron(
+        rng.uniform(-30, 30, (H // 2 + 1, W // 2 + 1, 3)), np.ones((2, 2, 1))
+    )[:H, :W]
+    tex = np.clip(base + detail, 0, 255).astype(np.uint8)
+    bg = (np.clip(base[::-1] * 0.4, 0, 255)).astype(np.uint8)
+    return tex, bg
+
+
 def nr_field(py, px, ry, rx, amp):
     """Unit-phase displacement field D(p) = (dy, dx) in material coords.
 

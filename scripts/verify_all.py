@@ -24,6 +24,7 @@ def main():
     rc |= run("golden cat512 (parity schedule)",
               ["scripts/golden_cat512.py", "parity"])
     rc |= run("backend comparison", ["scripts/pallas_check.py"])
+    rc |= run("LM regression bound", ["scripts/lm_check.py"])
     rc |= run("headline bench", ["bench.py"])
     print("\nALL OK" if rc == 0 else "\nFAILURES — see above")
     return rc
