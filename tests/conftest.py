@@ -24,21 +24,29 @@ def pytest_configure(config):
         capman.stop_global_capturing()
     env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
     env["JAX_PLATFORMS"] = "cpu"
-    flags = env.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    env["XLA_FLAGS"] = _force_device_count(env.get("XLA_FLAGS", ""))
     sys.stderr.write("[conftest] re-exec pytest with CPU-only jax env\n")
     sys.stderr.flush()
     args = list(config.invocation_params.args)
     os.execve(sys.executable, [sys.executable, "-m", "pytest", *args], env)
 
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in _flags:
-    os.environ["XLA_FLAGS"] = (
-        _flags + " --xla_force_host_platform_device_count=8"
+def _force_device_count(flags: str, n: int = 8) -> str:
+    """REPLACE any pre-existing xla_force_host_platform_device_count rather
+    than keeping it: a stale ambient flag with a count < 8 would make every
+    multi-device test (sharded pipeline byte-identity, spatial halo,
+    sharded prewarm) silently skip via its len(jax.devices()) guard and the
+    suite would go green with the multi-chip coverage gone."""
+    import re as _re
+
+    flags = _re.sub(
+        r"--xla_force_host_platform_device_count=\d+", "", flags
     ).strip()
+    return (flags + f" --xla_force_host_platform_device_count={n}").strip()
+
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["XLA_FLAGS"] = _force_device_count(os.environ.get("XLA_FLAGS", ""))
 
 import pathlib
 

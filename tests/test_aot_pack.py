@@ -64,7 +64,7 @@ print(json.dumps(st))
 """
 
 
-def test_pack_identical_and_fresh_process_loads(tmp_path):
+def test_pack_identical_and_fresh_process_loads(tmp_path, monkeypatch):
     pack = str(tmp_path / "pack")
     out = str(tmp_path / "child_out.npz")
 
@@ -73,17 +73,18 @@ def test_pack_identical_and_fresh_process_loads(tmp_path):
 
     batched, rgb_b, offs = _problem()
     cfg = _cfg()
-    # jit path (no pack)
+    # jit path (no pack) — delenv: an ambient ARAP_EXEC_PACK (a documented
+    # production env var) must not leak into the baseline, and monkeypatch
+    # restores the developer's value afterwards
+    monkeypatch.delenv("ARAP_EXEC_PACK", raising=False)
     f0, r0, m0 = solve_and_raster_canvas(batched, rgb_b, offs, cfg,
                                          canvas_hw=(32, 64))
     # pack path: builds the pack, must be byte-identical
-    os.environ["ARAP_EXEC_PACK"] = pack
-    try:
-        f1, r1, m1 = solve_and_raster_canvas(batched, rgb_b, offs, cfg,
-                                             canvas_hw=(32, 64))
-        assert aot.stats()["loaded"] == 1
-    finally:
-        os.environ.pop("ARAP_EXEC_PACK", None)
+    monkeypatch.setenv("ARAP_EXEC_PACK", pack)
+    f1, r1, m1 = solve_and_raster_canvas(batched, rgb_b, offs, cfg,
+                                         canvas_hw=(32, 64))
+    assert aot.stats()["loaded"] == 1
+    monkeypatch.delenv("ARAP_EXEC_PACK")
     np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))
     np.testing.assert_array_equal(np.asarray(r0), np.asarray(r1))
     np.testing.assert_array_equal(np.asarray(m0), np.asarray(m1))
@@ -107,7 +108,7 @@ def test_pack_identical_and_fresh_process_loads(tmp_path):
     np.testing.assert_array_equal(child["m"], np.asarray(m0))
 
 
-def test_pack_miss_falls_back_to_jit(tmp_path):
+def test_pack_miss_falls_back_to_jit(tmp_path, monkeypatch):
     """A corrupt pack entry must not break dispatch — jit fallback.
 
     aot's in-process _LOADED cache is keyed by program identity (shapes +
@@ -122,21 +123,31 @@ def test_pack_miss_falls_back_to_jit(tmp_path):
     pack = str(tmp_path / "pack2")
     batched, rgb_b, offs = _problem(seed=5)
     cfg = _cfg()
+    monkeypatch.delenv("ARAP_EXEC_PACK", raising=False)
     f0, _, _ = solve_and_raster_canvas(batched, rgb_b, offs, cfg,
                                        canvas_hw=(32, 64))
-    os.environ["ARAP_EXEC_PACK"] = pack
-    try:
-        # pre-write garbage where the entry would live
-        static_kwargs = dict(static_key=cfg.resolve().static_key,
-                             canvas_hw=(32, 64), compact_flow=True,
-                             transposed=False)
-        args = (batched, rgb_b, offs, cfg.resolve().dynamic)
-        key = aot.canvas_key(args, static_kwargs)
-        os.makedirs(pack, exist_ok=True)
-        with open(aot._path(key), "wb") as fh:
-            fh.write(b"not a pickle")
-        f1, _, _ = solve_and_raster_canvas(batched, rgb_b, offs, cfg,
-                                           canvas_hw=(32, 64))
-    finally:
-        os.environ.pop("ARAP_EXEC_PACK", None)
+    monkeypatch.setenv("ARAP_EXEC_PACK", pack)
+    # pre-write garbage where the entry would live
+    static_kwargs = dict(static_key=cfg.resolve().static_key,
+                         canvas_hw=(32, 64), compact_flow=True,
+                         transposed=False)
+    args = (batched, rgb_b, offs, cfg.resolve().dynamic)
+    key = aot.canvas_key(args, static_kwargs)
+    os.makedirs(pack, exist_ok=True)
+    path = aot._path(key)
+    with open(path, "wb") as fh:
+        fh.write(b"not a pickle")
+    f1, _, _ = solve_and_raster_canvas(batched, rgb_b, offs, cfg,
+                                       canvas_hw=(32, 64))
+    # the corrupt entry must have actually been READ and then REBUILT —
+    # otherwise this test passes vacuously whenever the hand-built key here
+    # drifts from the dispatch's (e.g. a new static kwarg is added)
+    with open(path, "rb") as fh:
+        rebuilt = fh.read()
+    assert rebuilt != b"not a pickle", (
+        "corrupt entry never touched: the test's key no longer matches "
+        "solve_and_raster_canvas's — update static_kwargs above"
+    )
+    assert len(rebuilt) > 1000  # a real serialized executable
+    monkeypatch.delenv("ARAP_EXEC_PACK")
     np.testing.assert_array_equal(np.asarray(f0), np.asarray(f1))

@@ -14,7 +14,13 @@ from arap_flow_tpu.ops.lm import LMConfig, lm_solve
 
 def _problem(H=14, W=18, seed=0):
     arap_mask = np.zeros((H, W), np.uint8)
+    rng = np.random.default_rng(seed)
     cons = np.array([[4, 5, 6, 7], [11, 4, 12, 6]], np.int32)
+    # seed actually varies the problem (targets jitter by up to ±1 px);
+    # seed=0 keeps the historical fixed problem
+    if seed:
+        cons = cons.copy()
+        cons[:, 2:] += rng.integers(-1, 2, cons[:, 2:].shape)
     cons = add_border_pins(cons, W, H)
     ops = E.build_operands(arap_mask, cons)
     cimg = E.anneal_constraints(ops, 1.0)
@@ -34,7 +40,6 @@ def test_generic_matches_specialized_arap():
 
     cfg = S.SolverConfig(num_anneal=1, gn_iters=3, max_pcg_iters=80,
                          pcg_iters=80.0)
-    xs = S.gn_solve_ref(x0, ops, cimg, cfg) if hasattr(S, "gn_solve_ref") else None
     # run the specialised path manually for identical structure
     x = x0
     for _ in range(3):

@@ -27,8 +27,9 @@ def test_recovers_translation():
     assert len(m) > 100
     u = m[:, 2] - m[:, 0]
     v = m[:, 3] - m[:, 1]
-    # majority of matches recover the exact shift
-    assert np.median(u) == dx and np.median(v) == dy
+    # majority of matches recover the shift (<=0.5: an even match count can
+    # put an exact-equality median between two integer displacements)
+    assert abs(np.median(u) - dx) <= 0.5 and abs(np.median(v) - dy) <= 0.5
     good = (np.abs(u - dx) <= 1) & (np.abs(v - dy) <= 1)
     assert good.mean() > 0.8, good.mean()
 
@@ -247,15 +248,18 @@ def test_failure_frontier_50pct_stretch():
 
 
 def test_stretch_hypotheses_extend_frontier():
-    """A global 40% stretch: rigid-shift coarse seeds mismatch (the 50%-
-    stretch frontier), but the affine hypothesis bank (STRETCH_HYPOTHESES)
-    seeds a scaled resample and recovers the field — the DeepMatching-style
-    deformation tolerance (split-and-rescore analogue) this matcher uses."""
+    """A global 60% stretch — past the rigid-shift frontier (the round-5
+    negative control showed a 40% stretch is already recovered by identity
+    seeds + per-level warp-refine: 1.34 px median, so it demonstrated
+    nothing): the affine hypothesis bank (STRETCH_HYPOTHESES) seeds a scaled
+    resample and recovers the field — the DeepMatching-style deformation
+    tolerance (split-and-rescore analogue) this matcher uses. The identity-
+    only negative control below is what makes this a test OF the bank."""
     from arap_flow_tpu.ops.matching import STRETCH_HYPOTHESES
 
     H, W = 128, 192
     im1 = _texture(H, W, seed=13)
-    s = 1.4
+    s = 1.6
     cy, cx = H / 2, W / 2
     yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
     fwd_x = s * (xx - cx) + cx
@@ -282,6 +286,16 @@ def test_stretch_hypotheses_extend_frontier():
     med_stretch, n_stretch = err_of(STRETCH_HYPOTHESES)
     assert n_stretch > 50, n_stretch
     assert med_stretch < 2.0, med_stretch
+    # NEGATIVE CONTROL: without the stretch hypotheses (identity-only bank)
+    # the 40% stretch must be measurably worse — otherwise this test cannot
+    # tell whether STRETCH_HYPOTHESES are what recovers it (e.g. a dropped
+    # rotations kwarg would pass silently)
+    med_id, n_id = err_of((0.0,))
+    assert med_id > 2.0 * med_stretch or n_id <= 50, (
+        f"identity-only bank already matches the stretch "
+        f"({med_id:.2f}px, n={n_id}) — the hypothesis bank adds nothing "
+        "here; tighten the stretch or investigate"
+    )
 
 
 def test_downscaled_matching_recovers_translation():
@@ -337,7 +351,7 @@ def test_subpatch_mode_recovers_translation():
     assert len(m) > 100
     u = m[:, 2] - m[:, 0]
     v = m[:, 3] - m[:, 1]
-    assert np.median(u) == dx and np.median(v) == dy
+    assert abs(np.median(u) - dx) <= 0.5 and abs(np.median(v) - dy) <= 0.5
     good = (np.abs(u - dx) <= 1) & (np.abs(v - dy) <= 1)
     assert good.mean() > 0.8, good.mean()
 

@@ -66,9 +66,8 @@ def test_pallas_pcg_wraparound_inert():
     s, c = E.trig(x)
     jtf, diag = E.jtf_and_diag(x, ops, cimg)
     out1, _ = pcg_solve_pallas(ops, s, c, jtf, diag, 25, interpret=True)
-    # huge garbage values in the excluded border rows of every input plane
+    # huge garbage values in the excluded border rows of the rolled planes
     poison = np.asarray(ops.mask) == 0
-    jtf2 = jnp.where(poison[None], 1e6, jtf)
     # (jtf on excluded pixels is zero in real problems; keep them zero — only
     # poison s/c which are rolled across the edge)
     s2 = jnp.where(poison, 77.7, s)

@@ -12,21 +12,13 @@ import os.path as osp
 import numpy as np
 from PIL import Image
 
-from arap_flow_tpu.ops.solver import SolverConfig
 from arap_flow_tpu.pipeline.para_gen import PipelineFlags, main_pipeline
 
+# shared texture recipe + solver schedule: import, don't duplicate — a tuning
+# change applied to test_pipeline alone must not desynchronize this battery
+from test_pipeline import CFG, _smooth_texture as _smooth
+
 H, W = 64, 80
-CFG = SolverConfig(num_anneal=4, gn_iters=3, max_pcg_iters=120,
-                   pcg_iters=120.0)
-
-
-def _smooth(h, w, seed):
-    rng = np.random.default_rng(seed)
-    base = np.kron(rng.uniform(60, 255, (h // 8 + 2, w // 8 + 2, 3)),
-                   np.ones((8, 8, 1)))[:h, :w]
-    det = np.kron(rng.uniform(-25, 25, (h // 2 + 1, w // 2 + 1, 3)),
-                  np.ones((2, 2, 1)))[:h, :w]
-    return np.clip(base + det, 0, 255).astype(np.uint8)
 
 
 def _moving_square(h, w, n, dy, dx, x0=None, sz=None, seed=1):

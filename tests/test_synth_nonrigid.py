@@ -10,8 +10,10 @@ import sys
 
 import numpy as np
 
-sys.path.insert(0, osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
-                            "scripts"))
+# APPEND, not prepend: scripts/ module names must never shadow packages or
+# sibling test imports for the rest of the pytest session
+sys.path.append(osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+                         "scripts"))
 
 from synth_nonrigid import (_invert, draw_nonrigid, nr_check_epe, nr_field,
                             nr_phase)
@@ -75,7 +77,6 @@ def test_gate_discriminates_rigid_only_flow():
     recovers only the rigid translation (missing the ds*D interior term) —
     this is the whole point of the round-5 non-rigid gate."""
     H, W = 200, 260
-    cy = cx = None
     c0, c1 = (100.0, 130.0), (104.0, 136.0)  # +6,+4 translation
     mask = np.zeros((H, W), np.uint8)
     yy, xx = np.mgrid[0:H, 0:W]
